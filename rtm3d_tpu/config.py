@@ -1,0 +1,201 @@
+"""Configuration tree for rtm3d_tpu.
+
+A small, dependency-free replacement for fvcore's ``CfgNode`` (the reference
+configures itself via ``CONFIGS.clone() + merge_from_file(yaml)``, reference:
+models/configs/detault.py:1-88, train.py:36-40). Keys mirror the reference's
+default tree one-for-one so the reference's YAML files load unchanged, plus a
+handful of TPU-specific keys (mesh axes, dtype policy, fixed-shape caps) that
+have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+from typing import Any, Mapping
+
+import yaml
+
+
+class Config(dict):
+    """Nested attribute-accessible dict with clone/merge semantics."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def clone(self) -> "Config":
+        return copy.deepcopy(self)
+
+    def merge(self, other: Mapping[str, Any]) -> "Config":
+        """Recursively merge ``other`` into self (in place). Returns self."""
+        for k, v in other.items():
+            if isinstance(v, Mapping) and isinstance(self.get(k), dict):
+                Config.merge(self[k], v)  # type: ignore[arg-type]
+            else:
+                self[k] = _wrap(v)
+        return self
+
+    def merge_from_file(self, path: str) -> "Config":
+        with open(path) as f:
+            loaded = yaml.safe_load(f) or {}
+        return self.merge(_coerce_tuples(loaded))
+
+    def merge_from_list(self, opts: list) -> "Config":
+        """Merge dotted key/value pairs, e.g. ["SOLVER.BASE_LR", "0.001"]."""
+        assert len(opts) % 2 == 0, "override list must be key value pairs"
+        for key, value in zip(opts[::2], opts[1::2]):
+            node = self
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node.setdefault(p, Config())
+            if isinstance(value, str):
+                try:
+                    value = ast.literal_eval(value)
+                except (ValueError, SyntaxError):
+                    pass
+            node[parts[-1]] = value
+        return self
+
+
+def _wrap(v: Any) -> Any:
+    if isinstance(v, Mapping) and not isinstance(v, Config):
+        c = Config()
+        for k, vv in v.items():
+            c[k] = _wrap(vv)
+        return c
+    return v
+
+
+def _coerce_tuples(obj: Any) -> Any:
+    """The reference's YAMLs write tuples as strings, e.g. ``(1280, 1280)``
+    (models/configs/rtm3d_dla34_kitti.yaml:1). Coerce them to real tuples."""
+    if isinstance(obj, Mapping):
+        return {k: _coerce_tuples(v) for k, v in obj.items()}
+    if isinstance(obj, str) and obj.startswith("(") and obj.endswith(")"):
+        try:
+            return ast.literal_eval(obj)
+        except (ValueError, SyntaxError):
+            return obj
+    return obj
+
+
+def default_config() -> Config:
+    """Defaults mirroring the reference tree (models/configs/detault.py:3-88),
+    with a `TPU` section that is new in this framework."""
+    c = Config()
+    c.INPUT_SIZE = (640, 640)
+    c.IS_RECT = True
+    c.IS_MOSAIC = False
+    c.BATCH_SIZE = 32
+    c.DEVICE = "tpu"
+    c.num_workers = 0
+
+    c.TRAINING = Config(
+        LOGDIR="./logdirs/",
+        WEIGHTS="./weights/",
+        CHECKPOINT_MODE="RESUME",  # ['pretrained', 'resume', 'start']
+        CHECKPOINT_FILE="",
+        W_MKF=1.0,
+        W_VKF=1.0,
+        W_VFM=1.0,
+        W_M_OFF=0.5,
+        W_V_OFF=0.5,
+    )
+
+    c.DATASET = Config(
+        PATH="./datasets/data/kitti",
+        OBJs=["Car", "Pedestrian", "Cyclist"],
+        RELATE_OBJs=[["Van", "Truck"], ["Person_sitting"], ["Person_sitting"]],
+        MEAN=[0.485, 0.456, 0.406],
+        STD=[0.229, 0.224, 0.225],
+        BBOX_AREA_MAX=0.2598311523503046,
+        BBOX_AREA_MIN=0.0002022788461538487,
+        GAUSSIAN_SIGMA_MAX=19,
+        GAUSSIAN_SIGMA_MIN=3,
+        VERTEX_OFFSET_INFER=[0.75, 0.57],
+        GAUSSIAN_GEN_TYPE="dynamic_radius",  # or 'dynamic_sigma'
+        # fixed-shape cap: max objects per image after related-class expansion
+        MAX_OBJS=64,
+        aug_hsv_h=0.014,
+        aug_hsv_s=0.68,
+        aug_hsv_v=0.36,
+        aug_degrees=0.0,
+        aug_translate=0.0,
+        aug_scale=0.5,
+        aug_shear=0.0,
+    )
+
+    c.SOLVER = Config(
+        OPTIM_TYPE="adamax",  # the reference hard-codes Adamax (OptimizerBuilder.py:34-36)
+        LR_SCHEDULER_NAME="WarmupMultiStepLR",
+        MAX_EPOCH=1000,
+        BASE_LR=0.01,
+        MOMENTUM=0.937,
+        WEIGHT_DECAY=0.0005,
+        WEIGHT_DECAY_NORM=0.0,
+        GAMMA=0.1,
+        STEPS=(20000, 50000),
+        WARMUP_FACTOR=1.0 / 1000,
+        WARMUP_ITERS=1000,
+        WARMUP_METHOD="linear",
+        EXCLUDE_SCOPE=(),
+        INCLUDE_SCOPE=(),
+        LOAD_SOLVER=True,
+        BIAS_LR_FACTOR=1.0,
+        WEIGHT_DECAY_BIAS=0.0005,
+        # Adamax's fixed decoupled weight decay in the reference
+        # (OptimizerBuilder.py:34-36: Adamax(lr, weight_decay=1e-4) -> L2)
+        ADAMAX_WEIGHT_DECAY=1e-4,
+    )
+
+    c.MODEL = Config(
+        BACKBONE="DLA-34",
+        DOWN_SAMPLE=4.0,
+        OUT_CHANNELS=256,
+        KFNs=["level2", "level3", "level4", "level5"],
+        FOCAL_LOSS_ALPHA=2.0,
+        FOCAL_LOSS_BEDA=4.0,
+        SMOOTH_L1_LOSS_BETA=0.1,
+        HEADER_NUM_CONV=2,
+    )
+
+    c.DETECTOR = Config(
+        CHECKPOINT="",
+        SCORE_THRESH=0.5,
+        TOPK_CANDIDATES=30,
+        NMS_THRESH_TEST=0.5,
+        dim_ref=[
+            [1.52607842, 1.62858147, 3.88396124],  # h, w, l  (Car)
+            [1.76067766, 0.6602296, 0.84220464],   # Pedestrian
+            [1.73712792, 0.59677122, 1.76338868],  # Cyclist
+        ],
+        REF_LOC=[0.0, -0.5, 20.0],  # detect.py:74 initial location guess
+        SOLVER_ITERS=40,            # LM iterations for 3D recovery
+        RESIDUAL_THRESH=0.1,        # accept solutions with residual < 0.1
+    )
+
+    # --- TPU-native section (no reference counterpart) ---
+    c.TPU = Config(
+        MESH_AXES=("data",),      # device mesh axis names
+        MESH_SHAPE=(-1,),         # -1: all available devices on that axis
+        COMPUTE_DTYPE="float32",  # 'bfloat16' for MXU-friendly training
+        PARAM_DTYPE="float32",
+        REMAT=False,              # jax.checkpoint the backbone to save HBM
+        DONATE=True,              # donate train-state buffers across steps
+    )
+    return c
+
+
+def load_config(yaml_path: str | None = None, overrides: list | None = None) -> Config:
+    cfg = default_config()
+    if yaml_path:
+        cfg.merge_from_file(yaml_path)
+    if overrides:
+        cfg.merge_from_list(list(overrides))
+    return cfg
