@@ -1,0 +1,176 @@
+"""DLA-34 backbone (Deep Layer Aggregation) in flax.
+
+Reference semantics: models/nets/dla.py:13-332. Spec: levels [1,1,1,2,2,1],
+channels [16,32,64,128,256,512], BasicBlock, stride-1 7x7 stem (dla.py:259-268
+— note: NOT the usual stride-2 stem), recursive Tree/Root HDA nodes with
+MaxPool downsample and 1x1 projection.
+
+Quirk preserved: ``level1`` is built with ``levels[0]`` convs, exactly as the
+reference does (dla.py:275-279 passes ``num_convs=levels[0]``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from flax import linen as nn
+
+from rtm3d_tpu.nn.layers import BN_EPS, BN_MOMENTUM, Conv, ConvLevel, MaxPool
+from rtm3d_tpu.nn.spec import ShapeSpec
+
+DLA34_LEVELS = [1, 1, 1, 2, 2, 1]
+DLA34_CHANNELS = [16, 32, 64, 128, 256, 512]
+
+
+def _bn(name: str, train: bool):
+    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, name=name)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + BN with an externally supplied residual
+    (reference: dla.py:56-100)."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, residual=None, train: bool = False):
+        if residual is None:
+            residual = x
+        out = Conv(self.features, 3, self.stride, self.dilation, name="conv1")(x)
+        out = nn.relu(_bn("norm1", train)(out))
+        out = Conv(self.features, 3, 1, self.dilation, name="conv2")(out)
+        out = _bn("norm2", train)(out)
+        return nn.relu(out + residual)
+
+
+class Root(nn.Module):
+    """1x1-conv aggregation over concatenated children
+    (reference: dla.py:213-241)."""
+
+    features: int
+    residual: bool = False
+
+    @nn.compact
+    def __call__(self, *children, train: bool = False):
+        import jax.numpy as jnp
+
+        x = jnp.concatenate(children, axis=-1)
+        x = Conv(self.features, 1, 1, padding=0, name="conv")(x)
+        x = _bn("norm", train)(x)
+        if self.residual:
+            x = x + children[0]
+        return nn.relu(x)
+
+
+class Tree(nn.Module):
+    """Recursive HDA node (reference: dla.py:103-210)."""
+
+    level: int
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    level_root: bool = False
+    root_dim: int = 0
+    root_residual: bool = False
+
+    @nn.compact
+    def __call__(self, x, residual=None, children=None, train: bool = False):
+        root_dim = self.root_dim
+        if root_dim == 0:
+            root_dim = 2 * self.out_channels
+        if self.level_root:
+            root_dim += self.in_channels
+
+        children = [] if children is None else list(children)
+
+        bottom = MaxPool(self.stride, self.stride)(x) if self.stride > 1 else x
+        if self.in_channels != self.out_channels:
+            residual = Conv(self.out_channels, 1, 1, padding=0, name="project_conv")(bottom)
+            residual = _bn("project_norm", train)(residual)
+        else:
+            residual = bottom
+        if self.level_root:
+            children.append(bottom)
+
+        if self.level == 1:
+            x1 = BasicBlock(self.out_channels, self.stride, name="tree1")(
+                x, residual, train=train
+            )
+            x2 = BasicBlock(self.out_channels, 1, name="tree2")(x1, train=train)
+            return Root(self.out_channels, self.root_residual, name="root")(
+                x2, x1, *children, train=train
+            )
+        x1 = Tree(
+            self.level - 1,
+            self.in_channels,
+            self.out_channels,
+            self.stride,
+            root_dim=0,
+            root_residual=self.root_residual,
+            name="tree1",
+        )(x, residual, train=train)
+        children.append(x1)
+        return Tree(
+            self.level - 1,
+            self.out_channels,
+            self.out_channels,
+            root_dim=root_dim + self.out_channels,
+            root_residual=self.root_residual,
+            name="tree2",
+        )(x1, children=children, train=train)
+
+
+class DLABase(nn.Module):
+    """DLA backbone; returns features of the levels in ``kfns``
+    (reference: dla.py:244-332)."""
+
+    kfns: Sequence[str] = ("level2", "level3", "level4", "level5")
+    levels: Sequence[int] = tuple(DLA34_LEVELS)
+    channels: Sequence[int] = tuple(DLA34_CHANNELS)
+    residual_root: bool = False
+
+    @property
+    def kfpn_spec(self):
+        spec = {}
+        for layer in self.kfns:
+            i = int(layer[-1])
+            spec[layer] = ShapeSpec(channels=self.channels[i], stride=2**i)
+        return spec
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ch = self.channels
+        x = Conv(ch[0], 7, 1, name="base_conv")(x)
+        x = nn.relu(_bn("base_norm", train)(x))
+
+        x = ConvLevel(ch[0], 3, self.levels[0], name="level0")(x, train)
+        outs = []
+        if "level0" in self.kfns:
+            outs.append(x)
+        # quirk parity: level1 uses levels[0] convs (dla.py:275-279)
+        x = ConvLevel(ch[1], 3, self.levels[0], stride=2, name="level1")(x, train)
+        if "level1" in self.kfns:
+            outs.append(x)
+
+        tree_args = [
+            # (level, in_ch, out_ch, level_root)
+            (self.levels[2], ch[1], ch[2], False),
+            (self.levels[3], ch[2], ch[3], True),
+            (self.levels[4], ch[3], ch[4], True),
+            (self.levels[5], ch[4], ch[5], True),
+        ]
+        for idx, (lvl, cin, cout, lroot) in enumerate(tree_args, start=2):
+            x = Tree(
+                lvl,
+                cin,
+                cout,
+                stride=2,
+                level_root=lroot,
+                root_residual=self.residual_root,
+                name=f"level{idx}",
+            )(x, train=train)
+            if f"level{idx}" in self.kfns:
+                outs.append(x)
+        return outs

@@ -1,0 +1,125 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtm3d_tpu.config import default_config
+from rtm3d_tpu.nn.dla import DLABase
+from rtm3d_tpu.nn.layers import UpSample, bilinear_kernel_1d
+from rtm3d_tpu.nn.model import create_model, init_model, num_parameters
+from rtm3d_tpu.nn.resnet import PoseResNet
+
+
+def test_upsample_matches_torch_convtranspose():
+    """UpSample must replicate torch ConvTranspose2d(k=4, s=2, p=1, bias=False)."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    c1, c2 = 6, 4
+    m = torch.nn.ConvTranspose2d(c1, c2, 4, stride=2, padding=1, bias=False)
+    x = torch.randn(2, c1, 8, 8)
+    y_ref = m(x).detach().numpy()
+
+    mod = UpSample(features=c2)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    params = mod.init(jax.random.PRNGKey(0), xj)
+    # import torch weight (in, out, kh, kw) -> (kh, kw, out, in)
+    w = jnp.asarray(m.weight.detach().numpy().transpose(2, 3, 1, 0))
+    y = mod.apply({"params": {"kernel": w}}, xj)
+    # fp32 accumulation order differs between XLA and torch; ~1e-3 agreement
+    assert np.allclose(np.asarray(y).transpose(0, 3, 1, 2), y_ref, atol=5e-3)
+    # and the init shape matches
+    assert params["params"]["kernel"].shape == w.shape
+
+
+def test_upsample_bilinear_init_channel0():
+    mod = UpSample(features=3)
+    x = jnp.zeros((1, 4, 4, 5))
+    params = mod.init(jax.random.PRNGKey(1), x)
+    k = np.asarray(params["params"]["kernel"])  # (4, 4, out, in)
+    b = bilinear_kernel_1d(4)
+    expected = np.outer(b, b)
+    for i in range(k.shape[-1]):
+        assert np.allclose(k[:, :, 0, i], expected)
+    assert np.allclose(b, [0.25, 0.75, 0.75, 0.25])
+
+
+def test_resnet18_feature_pyramid():
+    m = PoseResNet(depth=18)
+    x = jnp.zeros((1, 64, 96, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(vars_, x)
+    assert [f.shape for f in feats] == [
+        (1, 16, 24, 64),
+        (1, 8, 12, 128),
+        (1, 4, 6, 256),
+        (1, 2, 3, 512),
+    ]
+    spec = m.kfpn_spec
+    assert [spec[k].stride for k in m.kfns] == [4, 8, 16, 32]
+    assert [spec[k].channels for k in m.kfns] == [64, 128, 256, 512]
+
+
+def test_dla34_feature_pyramid():
+    m = DLABase()
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(vars_, x)
+    assert [f.shape for f in feats] == [
+        (1, 16, 16, 64),
+        (1, 8, 8, 128),
+        (1, 4, 4, 256),
+        (1, 2, 2, 512),
+    ]
+    spec = m.kfpn_spec
+    assert [spec[k].stride for k in m.kfns] == [4, 8, 16, 32]
+
+
+@pytest.mark.parametrize(
+    "backbone,kfns",
+    [
+        ("RESNET-18", ["layer1", "layer2", "layer3", "layer4"]),
+        ("DLA-34", ["level2", "level3", "level4", "level5"]),
+    ],
+)
+def test_full_model_logit_shapes(backbone, kfns):
+    cfg = default_config()
+    cfg.MODEL.BACKBONE = backbone
+    cfg.MODEL.KFNs = kfns
+    cfg.INPUT_SIZE = (96, 64)  # (W, H)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    x = jnp.zeros((2, 64, 96, 3))
+    logits = model.apply(variables, x, train=False)
+    assert logits[0].shape == (2, 16, 24, 3)   # heatmap, stride 4
+    assert logits[1].shape == (2, 16, 24, 16)  # 8 vertices x (dx,dy)
+    assert logits[2].shape == (2, 16, 24, 2)
+    assert logits[3].shape == (2, 16, 24, 2)
+    assert num_parameters(variables) > 1e6
+
+
+def test_train_mode_updates_batch_stats():
+    cfg = default_config()
+    cfg.MODEL.BACKBONE = "RESNET-18"
+    cfg.MODEL.KFNs = ["layer1", "layer2", "layer3", "layer4"]
+    cfg.INPUT_SIZE = (64, 64)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    logits, mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_model_jits_and_is_deterministic():
+    cfg = default_config()
+    cfg.MODEL.BACKBONE = "RESNET-18"
+    cfg.MODEL.KFNs = ["layer1", "layer2", "layer3", "layer4"]
+    cfg.INPUT_SIZE = (64, 64)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    f = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    y1 = f(variables, x)
+    y2 = f(variables, x)
+    for a, b in zip(y1, y2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
