@@ -1,0 +1,79 @@
+"""Device mesh + sharding utilities — the TPU-native distributed backend.
+
+Replaces the reference's NCCL/DDP machinery (train_multi_gpu.py:57-72,
+model_factory.py:50-76, torch_utils.py:206-210) with the JAX single-controller
+model: one ``jax.sharding.Mesh`` over all chips, batch sharded on the ``data``
+axis, parameters replicated. Under ``jax.jit`` XLA inserts the gradient
+``psum`` over ICI; across hosts the same code runs after
+``jax.distributed.initialize()`` (no rendezvous URL, no process groups, no
+explicit collectives).
+
+An optional ``spatial`` mesh axis shards the image height: XLA partitions the
+convolutions spatially with automatic halo exchange, which is how very large
+input resolutions (cfg.INPUT_SIZE is 1280x1280 in the reference YAMLs) fit a
+small per-chip HBM — a capability with no reference counterpart.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rtm3d_tpu.config import Config
+
+
+def create_mesh(cfg: Config | None = None, devices=None, axes=None, shape=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    axes = tuple(axes if axes is not None else (cfg.TPU.MESH_AXES if cfg else ("data",)))
+    shape = list(shape if shape is not None else (cfg.TPU.MESH_SHAPE if cfg else (-1,)))
+    n = len(devices)
+    fixed = int(np.prod([s for s in shape if s != -1])) if shape else 1
+    shape = [n // fixed if s == -1 else s for s in shape]
+    assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Images + labels sharded on batch; optionally height on 'spatial'."""
+    axes = mesh.axis_names
+    spatial = "spatial" if "spatial" in axes else None
+    return {
+        "image": NamedSharding(mesh, P("data", spatial)),
+        "labels": NamedSharding(mesh, P("data")),
+    }
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    sh = batch_sharding(mesh)
+    out = dict(batch)
+    out["image"] = jax.device_put(batch["image"], sh["image"])
+    out["labels"] = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh["labels"]), batch["labels"]
+    )
+    return out
+
+
+def replicate_state(mesh: Mesh, state):
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+
+
+def is_master() -> bool:
+    """Reference is_master_node (train_multi_gpu.py:71-72)."""
+    return jax.process_index() == 0
+
+
+def local_batch_size(global_batch: int, mesh: Optional[Mesh] = None) -> int:
+    """Per-host share of the global batch (replaces BATCH_SIZE/ngpus division,
+    model_factory.py:61-62)."""
+    n_proc = jax.process_count()
+    assert global_batch % n_proc == 0, (global_batch, n_proc)
+    return global_batch // n_proc

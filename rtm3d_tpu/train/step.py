@@ -1,0 +1,159 @@
+"""The three jitted programs: train_step, eval_loss_step, detect_step.
+
+These replace the reference's epoch-loop bodies (train.py:85-117 forward/loss/
+solver.step; train.py:61-81 eval loss; detect.py:47-88 inference+decode) with
+single compiled XLA programs. Target building runs on device inside the step
+(see rtm3d_tpu/data/targets.py). Under a sharded-batch ``jax.jit`` the
+gradient all-reduce over the ``data`` mesh axis is inserted by XLA —
+the TPU-native replacement for DDP/NCCL (train_multi_gpu.py:57-72) and for
+``reduce_tensor`` loss averaging (utils/torch_utils.py:206-210).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rtm3d_tpu.config import Config
+from rtm3d_tpu.data.targets import build_targets
+from rtm3d_tpu.decode.peaks import decode_detections
+from rtm3d_tpu.decode.solve3d import solve_bbox3d
+from rtm3d_tpu.losses.rtm3d_loss import rtm3d_loss
+from rtm3d_tpu.train.state import TrainState
+
+
+def _feat_hw(cfg: Config) -> Tuple[int, int]:
+    w, h = int(cfg.INPUT_SIZE[0]), int(cfg.INPUT_SIZE[1])
+    d = int(cfg.MODEL.DOWN_SAMPLE)
+    return h // d, w // d
+
+
+def _loss_from_batch(model, cfg: Config, params, batch_stats, batch, train: bool):
+    feat_hw = _feat_hw(cfg)
+    num_classes = len(cfg.DATASET.OBJs)
+    imgs = batch["image"]
+    targets = build_targets(
+        batch["labels"],
+        feat_hw,
+        num_classes,
+        down_ratio=float(cfg.MODEL.DOWN_SAMPLE),
+        gaussian_gen_type=cfg.DATASET.GAUSSIAN_GEN_TYPE,
+        bbox_area_max=cfg.DATASET.BBOX_AREA_MAX,
+        bbox_area_min=cfg.DATASET.BBOX_AREA_MIN,
+    )
+
+    def fwd(p):
+        if train:
+            logits, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                imgs,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return logits, mut["batch_stats"]
+        logits = model.apply(
+            {"params": p, "batch_stats": batch_stats}, imgs, train=False
+        )
+        return logits, batch_stats
+
+    if train and cfg.TPU.REMAT:
+        fwd = jax.checkpoint(fwd)
+
+    def loss_fn(p):
+        logits, new_stats = fwd(p)
+        loss, aux = rtm3d_loss(
+            logits,
+            targets,
+            w_mkf=cfg.TRAINING.W_MKF,
+            w_vfm=cfg.TRAINING.W_VFM,
+            w_m_off=cfg.TRAINING.W_M_OFF,
+            w_v_off=cfg.TRAINING.W_V_OFF,
+            focal_alpha=cfg.MODEL.FOCAL_LOSS_ALPHA,
+            focal_beta=cfg.MODEL.FOCAL_LOSS_BEDA,
+        )
+        return loss, (aux, new_stats)
+
+    return loss_fn
+
+
+def make_train_step(model, cfg: Config, tx) -> Callable:
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: {'image': (B,H,W,3) float32, 'labels': {cls,bbox,dim,alpha,ry,loc,
+    K,mask,noise_mask} padded to MAX_OBJS}.
+    metrics: {'loss', 'loss_items'[MKF,VFM,M_OFF,V_OFF,total], 'num_targets'}.
+    """
+
+    def train_step(state: TrainState, batch):
+        loss_fn = _loss_from_batch(model, cfg, state.params, state.batch_stats, batch, train=True)
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "loss_items": aux,
+            "num_targets": batch["labels"]["mask"].sum(),
+        }
+        return new_state, metrics
+
+    donate = (0,) if cfg.TPU.DONATE else ()
+    return jax.jit(train_step, donate_argnums=donate)
+
+
+def make_eval_loss_step(model, cfg: Config) -> Callable:
+    """eval-mode loss (reference test_epoch, train.py:61-81) — without the
+    reference's quirk of paying the decode cost and discarding it."""
+
+    def eval_step(state: TrainState, batch):
+        loss_fn = _loss_from_batch(model, cfg, state.params, state.batch_stats, batch, train=False)
+        loss, (aux, _) = loss_fn(state.params)
+        return {"loss": loss, "loss_items": aux}
+
+    return jax.jit(eval_step)
+
+
+def make_detect_step(model, cfg: Config, with_3d: bool = True) -> Callable:
+    """detect_step(variables, images, K) -> detections dict.
+
+    K: (B, 3, 3) per-image intrinsics (already transformed to the padded
+    input frame). Returns fixed (B, TOPK) arrays; `accepted` combines the
+    score threshold with the 3D solver residual acceptance
+    (model_utils.py:298).
+    """
+    dim_ref = jnp.asarray(cfg.DETECTOR.dim_ref, jnp.float32)
+    ref_loc = jnp.asarray(cfg.DETECTOR.REF_LOC, jnp.float32)
+    topk = int(cfg.DETECTOR.TOPK_CANDIDATES)
+    thresh = float(cfg.DETECTOR.SCORE_THRESH)
+    iters = int(cfg.DETECTOR.SOLVER_ITERS)
+    res_thresh = float(cfg.DETECTOR.RESIDUAL_THRESH)
+
+    def detect_step(variables, images, K):
+        logits = model.apply(variables, images, train=False)
+        det = decode_detections(
+            logits,
+            score_thresh=thresh,
+            topk=topk,
+            down_sample=float(cfg.MODEL.DOWN_SAMPLE),
+        )
+        if with_3d:
+            Kb = jnp.broadcast_to(K[:, None, :, :], K.shape[:1] + (topk, 3, 3))
+            sol = solve_bbox3d(det["v_proj"], det["cls"], Kb, dim_ref, ref_loc, iters=iters)
+            det.update(sol)
+            det["accepted"] = det["valid"] & (sol["cost"] < res_thresh)
+        else:
+            det["accepted"] = det["valid"]
+        return det
+
+    return jax.jit(detect_step)

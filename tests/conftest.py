@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The environment may pre-import jax config (e.g. a TPU platform plugin in
+# sitecustomize), in which case the env vars above are read too late — force
+# the settings through jax.config as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
