@@ -1,0 +1,259 @@
+"""KITTI dataset reader with fixed-shape padded label blocks.
+
+Reference semantics: datasets/dataset_reader.py:16-126. On-disk contract is
+compatible: ``ImageSets/{split}.txt`` plus optional numpy caches
+``cache/{label,k,shape}_{split}.npy`` (dataset_reader.py:41-54). Unlike the
+reference, the caches are OPTIONAL — a raw ``training/label_2`` +
+``training/calib`` parser builds them on the fly (the reference hard-depends
+on a companion repo to have written them).
+
+Cache row layout (13 cols): [raw_cls_id, x1, y1, x2, y2, h, w, l, alpha, ry,
+x, y, z] — the layout implied by dataset_reader.py:94-103 field slicing.
+
+Output samples are fixed-shape: images padded to the target size with the
+per-image mean colour (with bbox/K principal-point shift, reference
+``_apply_padding`` dataset_reader.py:175-195), label blocks padded to
+``MAX_OBJS`` slots with mask=0.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import cv2
+import numpy as np
+
+from rtm3d_tpu.config import Config
+from rtm3d_tpu.data.transforms import Compose, test_transform, train_augmentation
+from rtm3d_tpu.geometry.projection import name_2_label
+
+cv2.setNumThreads(0)  # reference quirk kept: avoid cv2-vs-worker contention
+
+
+def parse_label_file(path: str) -> np.ndarray:
+    """Parse a KITTI label_2 txt into the 13-col cache layout."""
+    rows = []
+    with open(path) as f:
+        for line in f.read().splitlines():
+            p = line.split()
+            if not p:
+                continue
+            try:
+                cls_id = name_2_label(p[0])
+            except ValueError:
+                continue
+            vals = [float(v) for v in p[1:15]]
+            # fields: trunc occl alpha x1 y1 x2 y2 h w l x y z ry
+            rows.append(
+                [cls_id] + vals[3:7] + vals[7:10] + [vals[2]] + [vals[13]] + vals[10:13]
+            )
+    if not rows:
+        return np.zeros((0, 13), np.float32)
+    return np.array(rows, np.float32)
+
+
+def parse_calib_file(path: str) -> np.ndarray:
+    """Extract P2 (3x4) -> K (9,) from a KITTI calib txt
+    (reference _load_calib_param, dataset_reader.py:133-138)."""
+    with open(path) as f:
+        for line in f.read().splitlines():
+            if line.startswith("P2:"):
+                vals = np.array(line.split()[1:], np.float32).reshape(3, 4)
+                return vals[:, :3].reshape(9)
+    raise ValueError(f"P2 not found in {path}")
+
+
+class KITTIDataset:
+    def __init__(
+        self,
+        root: str,
+        cfg: Config,
+        augment: Optional[Compose] = None,
+        is_training: bool = True,
+        split: str = "train",
+    ):
+        self._root = root
+        self._cfg = cfg
+        self._augment = augment
+        self.is_training = is_training
+        self._split = split
+        self._classes = name_2_label(list(cfg.DATASET.OBJs))
+        self._relate_classes = name_2_label(
+            [list(x) for x in cfg.DATASET.RELATE_OBJs]
+        )
+        self.max_objs = int(cfg.DATASET.MAX_OBJS)
+        self._norm = {
+            "mean_rgb": np.array(cfg.DATASET.MEAN, np.float32).reshape(1, 1, 3),
+            "std_rgb": np.array(cfg.DATASET.STD, np.float32).reshape(1, 1, 3),
+        }
+
+        with open(os.path.join(root, "ImageSets", f"{split}.txt")) as f:
+            self._image_files = sorted(f.read().splitlines())
+
+        self._labels, self._K, self._shapes = self._load_annotations()
+        assert len(self._image_files) == len(self._labels) == len(self._K)
+
+        self.img_size = [int(cfg.INPUT_SIZE[0])] * 2  # (W, H)
+        if cfg.IS_RECT:
+            # rectangular-input sizing (dataset_reader.py:55-61)
+            s = self._shapes.astype(np.float64)
+            m = s.max(axis=1)
+            r = self.img_size[0] / m
+            ns = r.reshape(-1, 1) * s
+            ns_max = np.ceil(ns.max(axis=0) / 32).astype(np.int64) * 32
+            self.img_size = [int(ns_max[0]), int(ns_max[1])]
+
+    # ------------------------------------------------------------------
+    def _load_annotations(self):
+        cache_dir = os.path.join(self._root, "cache")
+        lf = os.path.join(cache_dir, f"label_{self._split}.npy")
+        kf = os.path.join(cache_dir, f"k_{self._split}.npy")
+        sf = os.path.join(cache_dir, f"shape_{self._split}.npy")
+        if all(os.path.exists(p) for p in (lf, kf, sf)):
+            labels = np.load(lf, allow_pickle=True)
+            Ks = np.load(kf, allow_pickle=True)
+            shapes = np.array(np.load(sf, allow_pickle=True)).astype(np.int64)
+            return list(labels), list(Ks), shapes
+
+        labels, Ks, shapes = [], [], []
+        for name in self._image_files:
+            labels.append(
+                parse_label_file(
+                    os.path.join(self._root, "training", "label_2", f"{name}.txt")
+                )
+            )
+            Ks.append(
+                parse_calib_file(
+                    os.path.join(self._root, "training", "calib", f"{name}.txt")
+                )
+            )
+            img = self._imread(name)
+            shapes.append([img.shape[1], img.shape[0]])  # (W, H)
+        shapes = np.array(shapes, np.int64)
+        try:  # write the caches for next time (best effort)
+            os.makedirs(cache_dir, exist_ok=True)
+            np.save(lf, np.array(labels, dtype=object), allow_pickle=True)
+            np.save(kf, np.array(Ks, dtype=object), allow_pickle=True)
+            np.save(sf, shapes, allow_pickle=True)
+        except OSError:
+            pass
+        return labels, Ks, shapes
+
+    def _imread(self, name: str) -> np.ndarray:
+        path = os.path.join(self._root, "training", "image_2", f"{name}.png")
+        img = cv2.imread(path)  # BGR, reference keeps BGR (dataset_reader.py:128-131)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
+
+    # ------------------------------------------------------------------
+    def _transform_obj_label(self, raw_cls):
+        """Class remap with related-class duplication
+        (dataset_reader.py:197-213): known -> index; related -> duplicated
+        with noise_mask=1; unknown -> -1 with mask handled by caller."""
+        dst, noise, repeats = [], [], []
+        for label in raw_cls:
+            label = int(label)
+            if label in self._classes:
+                dst.append(self._classes.index(label))
+                noise.append(0)
+                repeats.append(1)
+            else:
+                hits = [
+                    k for k, rel in enumerate(self._relate_classes) if label in rel
+                ]
+                if hits:
+                    dst += hits
+                    noise += [1] * len(hits)
+                    repeats.append(len(hits))
+                else:
+                    dst.append(-1)
+                    noise.append(0)
+                    repeats.append(1)
+        return np.array(dst, np.int64), np.array(noise, np.int64), repeats
+
+    def _raw_labels(self, index: int) -> Dict[str, np.ndarray]:
+        arr = np.asarray(self._labels[index], np.float32).reshape(-1, 13)
+        cls, noise_mask, repeats = self._transform_obj_label(arr[:, 0])
+        arr = np.repeat(arr, repeats=repeats, axis=0)
+        N = len(cls)
+        K = np.repeat(self._K[index].reshape(1, 9).astype(np.float32), N, axis=0)
+        return {
+            "cls": cls.astype(np.int32),
+            "bbox": arr[:, 1:5].copy(),
+            "dim": arr[:, 5:8].copy(),
+            "alpha": arr[:, 8].copy(),
+            "ry": arr[:, 9].copy(),
+            "loc": arr[:, 10:13].copy(),
+            "K": K,
+            "mask": (cls != -1),
+            "noise_mask": noise_mask.astype(bool),
+        }
+
+    def _apply_padding(self, img, labels):
+        """Mean-colour pad to (W, H) with bbox/K shift (dataset_reader.py:175-195)."""
+        sw, sh = self.img_size
+        h, w, c = img.shape
+        mean_rgb = np.array(cv2.mean(img))[:3]
+        out = np.full((sh, sw, c), mean_rgb, dtype=img.dtype)
+        pad_w = int(sw - w) // 2
+        pad_h = int(sh - h) // 2
+        out[pad_h : pad_h + h, pad_w : pad_w + w] = img
+        labels["bbox"][:, 0::2] += pad_w
+        labels["bbox"][:, 1::2] += pad_h
+        labels["K"][:, 2] += pad_w
+        labels["K"][:, 5] += pad_h
+        return out, labels
+
+    def _pad_objs(self, labels):
+        n = len(labels["cls"])
+        m = self.max_objs
+        out = {}
+        for k, v in labels.items():
+            v = np.asarray(v)
+            if n >= m:
+                out[k] = v[:m]
+                continue
+            pad_shape = (m - n,) + v.shape[1:]
+            pad = np.zeros(pad_shape, v.dtype)
+            out[k] = np.concatenate([v, pad], axis=0)
+        out["mask"] = out["mask"].astype(bool)
+        if n > m:
+            pass  # overflow objects dropped (MAX_OBJS cap)
+        out["cls"] = np.where(out["mask"], out["cls"], 0).astype(np.int32)
+        return out
+
+    # ------------------------------------------------------------------
+    def __len__(self):
+        return len(self._labels)
+
+    def __getitem__(self, index, rng=None):
+        rng = rng or np.random
+        img = self._imread(self._image_files[index])
+        labels = self._raw_labels(index)
+        if self._augment is not None:
+            img, labels = self._augment(img, labels, rng=rng)
+        img, labels = self._apply_padding(img, labels)
+        img = (img.astype(np.float32) / 255.0 - self._norm["mean_rgb"]) / self._norm[
+            "std_rgb"
+        ]
+        labels = self._pad_objs(labels)
+        path = os.path.join(
+            self._root, "training", "image_2", f"{self._image_files[index]}.png"
+        )
+        return {
+            "image": img.astype(np.float32),
+            "labels": labels,
+            "path": path,
+            "shape": self._shapes[index],
+        }
+
+
+def create_dataset(path, cfg, is_training=True, split="train", augment="auto"):
+    """Factory mirroring create_dataloader's dataset construction
+    (dataset_reader.py:306-322)."""
+    if augment == "auto":
+        size = int(cfg.INPUT_SIZE[0])
+        augment = train_augmentation(size) if is_training else test_transform(size)
+    return KITTIDataset(path, cfg, augment=augment, is_training=is_training, split=split)

@@ -1,0 +1,147 @@
+import os
+
+import numpy as np
+import pytest
+
+from rtm3d_tpu.config import default_config
+from rtm3d_tpu.data.kitti import (
+    KITTIDataset,
+    create_dataset,
+    parse_calib_file,
+    parse_label_file,
+)
+from rtm3d_tpu.data.loader import DataLoader
+from rtm3d_tpu.data.synthetic import generate_kitti
+from rtm3d_tpu.data.transforms import (
+    RandomMirror,
+    Resize,
+    ToAbsoluteCoords,
+    ToPercentCoords,
+)
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    return generate_kitti(str(root), num_train=6, num_test=3, img_hw=(160, 224))
+
+
+def small_cfg():
+    cfg = default_config()
+    cfg.INPUT_SIZE = (224, 224)
+    cfg.IS_RECT = True
+    cfg.DATASET.MAX_OBJS = 12
+    cfg.BATCH_SIZE = 2
+    return cfg
+
+
+def test_parse_label_and_calib(kitti_root):
+    arr = parse_label_file(os.path.join(kitti_root, "training", "label_2", "000000.txt"))
+    assert arr.ndim == 2 and arr.shape[1] == 13
+    K = parse_calib_file(os.path.join(kitti_root, "training", "calib", "000000.txt"))
+    assert K.shape == (9,)
+    assert K[0] > 0 and K[8] == 1.0
+
+
+def test_dataset_shapes_and_cache(kitti_root):
+    cfg = small_cfg()
+    ds = create_dataset(kitti_root, cfg, is_training=False, split="train")
+    # rect sizing rounds to /32
+    assert ds.img_size[0] % 32 == 0 and ds.img_size[1] % 32 == 0
+    s = ds[0]
+    W, H = ds.img_size
+    assert s["image"].shape == (H, W, 3)
+    assert s["image"].dtype == np.float32
+    assert s["labels"]["cls"].shape == (12,)
+    assert s["labels"]["bbox"].shape == (12, 4)
+    assert s["labels"]["K"].shape == (12, 9)
+    assert s["labels"]["mask"].dtype == bool
+    # caches were materialised
+    assert os.path.exists(os.path.join(kitti_root, "cache", "label_train.npy"))
+    # second dataset loads from cache identically
+    ds2 = create_dataset(kitti_root, cfg, is_training=False, split="train")
+    s2 = ds2[0]
+    assert np.allclose(s["labels"]["bbox"], s2["labels"]["bbox"])
+
+
+def test_bbox_centers_inside_padded_image(kitti_root):
+    cfg = small_cfg()
+    ds = create_dataset(kitti_root, cfg, is_training=False, split="train")
+    for i in range(len(ds)):
+        s = ds[i]
+        m = s["labels"]["mask"]
+        b = s["labels"]["bbox"][m]
+        W, H = ds.img_size
+        cx = (b[:, 0] + b[:, 2]) / 2
+        cy = (b[:, 1] + b[:, 3]) / 2
+        assert (cx >= 0).all() and (cx < W).all()
+        assert (cy >= 0).all() and (cy < H).all()
+
+
+def test_train_augmentation_keeps_consistency(kitti_root, rng):
+    cfg = small_cfg()
+    ds = create_dataset(kitti_root, cfg, is_training=True, split="train")
+    s = ds.__getitem__(0, rng=rng)
+    m = s["labels"]["mask"]
+    if m.any():
+        assert np.isfinite(s["labels"]["bbox"][m]).all()
+        assert np.isfinite(s["labels"]["K"][m]).all()
+
+
+def test_mirror_roundtrip(rng):
+    img = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+    labels = {
+        "bbox": np.array([[10.0, 20, 30, 40]], np.float32),
+        "K": np.array([[50.0, 0, 48, 0, 50, 32, 0, 0, 1]], np.float32),
+        "alpha": np.array([0.3], np.float32),
+        "ry": np.array([-0.7], np.float32),
+        "loc": np.array([[1.0, 1.5, 10.0]], np.float32),
+        "mask": np.array([True]),
+    }
+    m = RandomMirror(p=1.0)
+    img2, l2 = m(img, {k: v.copy() for k, v in labels.items()}, rng=rng)
+    img3, l3 = m(img2, {k: v.copy() for k, v in l2.items()}, rng=rng)
+    assert np.array_equal(img3, img)
+    assert np.allclose(l3["bbox"], labels["bbox"])
+    assert np.allclose(l3["loc"], labels["loc"])
+    # angles return mod 2pi
+    d = (l3["ry"] - labels["ry"] + np.pi) % (2 * np.pi) - np.pi
+    assert np.allclose(d, 0, atol=1e-6)
+    # mirrored box is the reflection
+    assert np.allclose(l2["bbox"], [[96 - 30, 20, 96 - 10, 40]])
+
+
+def test_percent_abs_roundtrip(rng):
+    img = np.zeros((64, 96, 3), np.uint8)
+    labels = {
+        "bbox": np.array([[10.0, 20, 30, 40]], np.float32),
+        "K": np.array([[50.0, 0, 48, 0, 50, 32, 0, 0, 1]], np.float32),
+    }
+    ref = {k: v.copy() for k, v in labels.items()}
+    ToPercentCoords()(img, labels, rng=rng)
+    ToAbsoluteCoords()(img, labels, rng=rng)
+    assert np.allclose(labels["bbox"], ref["bbox"], atol=1e-4)
+    assert np.allclose(labels["K"], ref["K"], atol=1e-4)
+
+
+def test_loader_batching_and_sharding(kitti_root):
+    cfg = small_cfg()
+    ds = create_dataset(kitti_root, cfg, is_training=False, split="train")
+    dl = DataLoader(ds, batch_size=2, shuffle=True, num_shards=1, shard_index=0)
+    batches = list(dl)
+    assert len(batches) == 3
+    b = batches[0]
+    W, H = ds.img_size
+    assert b["image"].shape == (2, H, W, 3)
+    assert b["labels"]["cls"].shape == (2, 12)
+    # epoch reshuffle changes order
+    dl.set_epoch(1)
+    b2 = next(iter(dl))
+    assert b2["path"] != b["path"] or True  # may coincide; just ensure it runs
+    # 2-shard split partitions the data
+    d0 = DataLoader(ds, batch_size=1, shuffle=False, num_shards=2, shard_index=0)
+    d1 = DataLoader(ds, batch_size=1, shuffle=False, num_shards=2, shard_index=1)
+    p0 = [b["path"][0] for b in d0]
+    p1 = [b["path"][0] for b in d1]
+    assert not set(p0) & set(p1)
+    assert len(p0) + len(p1) == len(ds)
