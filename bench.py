@@ -1,0 +1,78 @@
+"""Benchmark: KITTI-val-shaped detect path on the flagship DLA-34 model.
+
+Measures end-to-end jitted inference — backbone + KFPN + header + heatmap
+decode + batched LM 3D recovery — images/sec on the local accelerator,
+batch 8 at 1280x384 (the KITTI rect resolution the reference trains at,
+rtm3d_dla34_kitti.yaml INPUT_SIZE 1280 with IS_RECT).
+
+Prints ONE JSON line. ``vs_baseline`` is relative to the upstream RTM3D
+paper's published DLA-34 runtime (0.055 s/image ~= 18.2 FPS on a GTX 1080Ti,
+arXiv:2001.03343 Tab. 4) — the reference repo itself publishes no numbers
+(BASELINE.md): >1.0 means faster than the paper's GPU figure.
+"""
+
+import json
+import time
+
+import numpy as np
+
+PAPER_FPS = 18.2  # RTM3D paper DLA-34, GTX 1080Ti
+BATCH = 8
+H, W = 384, 1280
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rtm3d_tpu.config import default_config
+    from rtm3d_tpu.nn.model import init_model
+    from rtm3d_tpu.train.step import make_detect_step
+
+    cfg = default_config()
+    cfg.MODEL.BACKBONE = "DLA-34"
+    cfg.INPUT_SIZE = (W, H)
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"  # MXU-native inference; decode/solver stay fp32
+    cfg.DETECTOR.TOPK_CANDIDATES = 100
+    cfg.DETECTOR.SCORE_THRESH = 0.4
+
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    detect = make_detect_step(model, cfg, with_3d=True)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(BATCH, H, W, 3), jnp.float32)
+    K = jnp.asarray(
+        np.tile(
+            np.array(
+                [[721.5, 0, 609.6], [0, 721.5, 172.9], [0, 0, 1.0]], np.float32
+            ),
+            (BATCH, 1, 1),
+        )
+    )
+
+    # warmup / compile
+    out = detect(variables, images, K)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = detect(variables, images, K)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ips = BATCH * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "detect_images_per_sec_dla34_b8_1280x384",
+                "value": round(ips, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / PAPER_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

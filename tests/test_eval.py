@@ -1,0 +1,102 @@
+import numpy as np
+import pytest
+
+from rtm3d_tpu.eval.ap import (
+    bev_overlap,
+    evaluate_ap,
+    iou_2d,
+    iou_3d,
+    iou_bev,
+    parse_kitti_line,
+)
+from rtm3d_tpu.eval.kitti_writer import alpha_from_ry, detections_to_lines
+
+
+def _obj(cls="Car", bbox=(0, 0, 100, 60), dim=(1.5, 1.6, 3.9), loc=(0, 1.5, 10), ry=0.0, score=1.0, occ=0, trunc=0.0):
+    return {
+        "type": cls,
+        "truncated": trunc,
+        "occluded": occ,
+        "alpha": 0.0,
+        "bbox": np.array(bbox, float),
+        "dim": np.array(dim, float),
+        "loc": np.array(loc, float),
+        "ry": ry,
+        "score": score,
+    }
+
+
+def test_iou_2d_basic():
+    assert iou_2d((0, 0, 10, 10), (0, 0, 10, 10)) == pytest.approx(1.0)
+    assert iou_2d((0, 0, 10, 10), (5, 0, 15, 10)) == pytest.approx(1 / 3)
+    assert iou_2d((0, 0, 10, 10), (20, 20, 30, 30)) == 0.0
+
+
+def test_bev_overlap_axis_aligned():
+    a = (0.0, 0.0, 2.0, 4.0, 0.0)  # x, z, w, l, ry
+    b = (1.0, 0.0, 2.0, 4.0, 0.0)  # shifted by 1 along x (length axis)
+    # axis-aligned: l along x (4), w along z (2); shift 1 on x -> inter 3*2=6
+    assert bev_overlap(a, a) == pytest.approx(8.0)
+    assert bev_overlap(a, b) == pytest.approx(6.0)
+    assert iou_bev(a, b) == pytest.approx(6.0 / 10.0)
+
+
+def test_bev_overlap_rotated():
+    a = (0.0, 0.0, 2.0, 2.0, 0.0)
+    b = (0.0, 0.0, 2.0, 2.0, np.pi / 4)  # 45-degree rotated square
+    inter = bev_overlap(a, b)
+    # square vs rotated square: intersection is the regular octagon
+    assert inter == pytest.approx(8 * (np.sqrt(2) - 1), rel=1e-3)
+    # rotation by pi/2 maps the square onto itself
+    c = (0.0, 0.0, 2.0, 2.0, np.pi / 2)
+    assert bev_overlap(a, c) == pytest.approx(4.0, rel=1e-6)
+
+
+def test_iou_3d_identity_and_disjoint():
+    a = _obj()
+    assert iou_3d(a, a) == pytest.approx(1.0)
+    b = _obj(loc=(10, 1.5, 10))
+    assert iou_3d(a, b) == 0.0
+    # half height overlap
+    c = _obj(loc=(0, 1.5 - 0.75, 10))
+    assert iou_3d(a, c) == pytest.approx(0.5 / 1.5, rel=1e-6)
+
+
+def test_ap_perfect_detections():
+    gts = [[_obj()], [_obj(loc=(2, 1.5, 15))]]
+    dets = [[_obj(score=0.9)], [_obj(loc=(2, 1.5, 15), score=0.8)]]
+    for metric in ("bbox", "bev", "3d"):
+        ap = evaluate_ap(gts, dets, "Car", metric, "easy")
+        assert ap == pytest.approx(1.0, abs=0.03), metric
+
+
+def test_ap_false_positive_lowers_precision():
+    gts = [[_obj()]]
+    dets = [[_obj(score=0.9), _obj(loc=(30, 1.5, 30), bbox=(200, 0, 300, 60), score=0.95)]]
+    ap = evaluate_ap(gts, dets, "Car", "3d", "easy")
+    assert 0.0 < ap < 1.0
+
+
+def test_ap_miss_is_zero():
+    gts = [[_obj()]]
+    dets = [[]]
+    assert evaluate_ap(gts, dets, "Car", "3d", "easy") == 0.0
+
+
+def test_parse_and_write_roundtrip():
+    det = {
+        "cls": np.array([[0, 1]]),
+        "scores": np.array([[0.9, 0.8]]),
+        "accepted": np.array([[True, False]]),
+        "bbox2d": np.array([[[10.0, 20, 110, 80], [0, 0, 1, 1]]]),
+        "dim": np.array([[[1.5, 1.6, 3.9], [1, 1, 1]]]),
+        "loc": np.array([[[2.0, 1.5, 20.0], [0, 0, 5]]]),
+        "ry": np.array([[0.3, 0.0]]),
+    }
+    lines = detections_to_lines(det, ["Car", "Pedestrian", "Cyclist"], 0)
+    assert len(lines) == 1  # only accepted
+    parsed = parse_kitti_line(lines[0], with_score=True)
+    assert parsed["type"] == "Car"
+    assert parsed["score"] == pytest.approx(0.9, abs=1e-3)
+    assert parsed["loc"][2] == pytest.approx(20.0, abs=0.01)
+    assert parsed["alpha"] == pytest.approx(alpha_from_ry(0.3, 2.0, 20.0), abs=0.01)
