@@ -1,0 +1,131 @@
+"""Inference entry point — the reference detect.py, batched and headless.
+
+Differences by design: batched jitted detect (the reference iterates images
+one-by-one through a Python loop + per-detection scipy, detect.py:47-88);
+results are written in KITTI format and visualisations saved to files instead
+of an X display.
+
+Usage:
+  python -m rtm3d_tpu.cli.detect --model-config configs/rtm3d_dla34_kitti.yaml \
+      [--data-path P] [--split test] [--out-dir results] [--save-vis DIR] \
+      [--checkpoint CKPT] [--batch-size N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtm3d_tpu.config import load_config
+from rtm3d_tpu.data.kitti import create_dataset
+from rtm3d_tpu.data.loader import DataLoader
+from rtm3d_tpu.eval.kitti_writer import detections_to_lines, write_results
+from rtm3d_tpu.nn.model import create_model
+from rtm3d_tpu.train.checkpoint import CheckPointer, import_torch_weights, load_torch_state_dict
+from rtm3d_tpu.train.optim import build_optimizer
+from rtm3d_tpu.train.state import TrainState
+from rtm3d_tpu.train.step import make_detect_step
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("rtm3d_tpu detect")
+    p.add_argument("--model-config", type=str, required=True)
+    p.add_argument("--data-path", type=str, default=None)
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--out-dir", type=str, default="./results")
+    p.add_argument("--save-vis", type=str, default=None)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--set", nargs="*", default=[])
+    return p.parse_args(argv)
+
+
+def load_variables(cfg, model, checkpoint, input_size):
+    w, h = input_size
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)))
+    if checkpoint and os.path.exists(checkpoint):
+        if checkpoint.endswith((".pt", ".pth", ".pkl")):
+            sd = load_torch_state_dict(checkpoint)
+            variables, report = import_torch_weights(variables, sd)
+            print(f"imported {len(report['loaded'])} tensors; {len(report['missed'])} missed")
+        else:
+            tx, _ = build_optimizer(cfg, variables["params"])
+            template = TrainState.create(variables, tx)
+            cp = CheckPointer(os.path.dirname(checkpoint) or ".")
+            state, _ = cp.load(template, path=checkpoint, use_latest=False)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            print(f"loaded checkpoint {checkpoint}")
+    elif checkpoint:
+        print(f"WARNING: checkpoint {checkpoint} not found; using random init")
+    return variables
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = load_config(args.model_config, args.set)
+    if args.data_path:
+        cfg.DATASET.PATH = args.data_path
+
+    ds = create_dataset(cfg.DATASET.PATH, cfg, is_training=False, split=args.split)
+    cfg.INPUT_SIZE = tuple(ds.img_size)
+    model = create_model(cfg)
+    ckpt = args.checkpoint or cfg.DETECTOR.CHECKPOINT
+    variables = load_variables(cfg, model, ckpt, cfg.INPUT_SIZE)
+
+    detect = make_detect_step(model, cfg, with_3d=True)
+    loader = DataLoader(
+        ds, args.batch_size, shuffle=False, drop_last=False, num_shards=1, shard_index=0
+    )
+
+    names = list(cfg.DATASET.OBJs)
+    n_img, t_total = 0, 0.0
+    for batch in loader:
+        imgs = jnp.asarray(batch["image"])
+        # per-image K from the first valid object slot; falls back to the
+        # dataset's calib when an image carries no objects
+        Ks = batch["labels"]["K"][:, 0].reshape(-1, 3, 3).astype(np.float32)
+        t0 = time.perf_counter()
+        det = detect(variables, imgs, jnp.asarray(Ks))
+        det = jax.device_get(det)
+        t_total += time.perf_counter() - t0
+        for bi in range(imgs.shape[0]):
+            name = os.path.splitext(os.path.basename(batch["path"][bi]))[0]
+            lines = detections_to_lines(det, names, bi)
+            write_results(args.out_dir, name, lines)
+            if args.save_vis:
+                _save_vis(args, cfg, batch, det, bi, name)
+        n_img += imgs.shape[0]
+    print(f"detect: {n_img} images in {t_total:.2f}s ({n_img / max(t_total, 1e-9):.1f} img/s), results -> {args.out_dir}")
+
+
+def _save_vis(args, cfg, batch, det, bi, name):
+    import cv2
+
+    from rtm3d_tpu.utils.visual import (
+        denormalize,
+        draw_bbox2d,
+        draw_bbox3d,
+        draw_keypoints,
+    )
+
+    img = denormalize(
+        batch["image"][bi], np.array(cfg.DATASET.MEAN), np.array(cfg.DATASET.STD)
+    ).copy()
+    acc = det["accepted"][bi]
+    if acc.any():
+        draw_bbox2d(img, det["bbox2d"][bi][acc], det["cls"][bi][acc], det["scores"][bi][acc], list(cfg.DATASET.OBJs))
+        draw_keypoints(img, det["m_proj"][bi][acc])
+        K = batch["labels"]["K"][bi, 0].reshape(3, 3)
+        for i in np.where(acc)[0]:
+            draw_bbox3d(img, det["dim"][bi][i], det["loc"][bi][i], det["ry"][bi][i], K)
+    os.makedirs(args.save_vis, exist_ok=True)
+    cv2.imwrite(os.path.join(args.save_vis, f"{name}.png"), img)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Evaluation entry point: detect over a split + KITTI AP scoring.
+
+New capability (the reference has no eval harness, SURVEY.md §6).
+
+Usage:
+  python -m rtm3d_tpu.cli.evaluate --model-config CFG [--data-path P]
+      [--split test] [--checkpoint CKPT] [--out-dir results]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from rtm3d_tpu.cli import detect as detect_cli
+from rtm3d_tpu.config import load_config
+from rtm3d_tpu.eval.ap import evaluate_directories
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("rtm3d_tpu evaluate")
+    p.add_argument("--model-config", type=str, required=True)
+    p.add_argument("--data-path", type=str, default=None)
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--out-dir", type=str, default="./results")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--skip-detect", action="store_true")
+    p.add_argument("--set", nargs="*", default=[])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = load_config(args.model_config, args.set)
+    data_path = args.data_path or cfg.DATASET.PATH
+
+    if not args.skip_detect:
+        det_args = [
+            "--model-config", args.model_config,
+            "--data-path", data_path,
+            "--split", args.split,
+            "--out-dir", args.out_dir,
+            "--batch-size", str(args.batch_size),
+        ]
+        if args.checkpoint:
+            det_args += ["--checkpoint", args.checkpoint]
+        if args.set:
+            det_args += ["--set"] + list(args.set)
+        detect_cli.main(det_args)
+
+    with open(os.path.join(data_path, "ImageSets", f"{args.split}.txt")) as f:
+        names = sorted(f.read().splitlines())
+    gt_dir = os.path.join(data_path, "training", "label_2")
+
+    results = {}
+    for cls in cfg.DATASET.OBJs:
+        for metric in ("bbox", "bev", "3d"):
+            for diff in ("easy", "moderate", "hard"):
+                ap = evaluate_directories(
+                    gt_dir, args.out_dir, names,
+                    class_name=cls, metric=metric, difficulty=diff,
+                )
+                results[f"{cls}_{metric}_{diff}"] = round(100 * ap, 2)
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Training entry point — the reference train.py / train_multi_gpu.py unified.
+
+Single-host and multi-host use the same code path: the device mesh covers all
+local (or, after ``jax.distributed.initialize``, global) chips, the batch is
+sharded on the ``data`` axis and XLA reduces gradients over ICI — no separate
+DDP script, no process groups, no rendezvous URL (SURVEY.md §2.7).
+
+Usage:
+  python -m rtm3d_tpu.cli.train --model-config configs/rtm3d_dla34_kitti.yaml \
+      [--data-path PATH] [--num-epochs N] [--set KEY VALUE ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+import jax
+import numpy as np
+
+from rtm3d_tpu.config import load_config
+from rtm3d_tpu.data.kitti import create_dataset
+from rtm3d_tpu.data.loader import DataLoader
+from rtm3d_tpu.nn.model import create_model, num_parameters
+from rtm3d_tpu.parallel.mesh import (
+    create_mesh_for_batch,
+    is_master,
+    replicate_state,
+    shard_batch,
+)
+from rtm3d_tpu.train.checkpoint import (
+    CheckPointer,
+    import_torch_weights,
+    load_torch_state_dict,
+)
+from rtm3d_tpu.train.optim import build_optimizer
+from rtm3d_tpu.train.state import TrainState
+from rtm3d_tpu.train.step import make_eval_loss_step, make_train_step
+
+LOSS_NAMES = ["MKF", "VFM", "M_OFF", "V_OFF", "total"]
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("rtm3d_tpu train")
+    p.add_argument("--model-config", type=str, required=True)
+    p.add_argument("--data-path", type=str, default=None)
+    p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--test-interval", type=int, default=1)
+    p.add_argument("--seed", type=int, default=20)
+    p.add_argument("--set", nargs="*", default=[], help="dotted config overrides")
+    return p.parse_args(argv)
+
+
+def setup(args):
+    """Mirrors train.py:34-58."""
+    np.random.seed(args.seed)
+    cfg = load_config(args.model_config, args.set)
+    if args.data_path:
+        cfg.DATASET.PATH = args.data_path
+    if args.num_epochs:
+        cfg.SOLVER.MAX_EPOCH = args.num_epochs
+    if args.batch_size:
+        cfg.BATCH_SIZE = args.batch_size
+    return cfg
+
+
+def run_eval_epoch(eval_step, state, loader, mesh):
+    losses = []
+    for batch in loader:
+        sb = shard_batch(mesh, {"image": batch["image"], "labels": batch["labels"]})
+        out = eval_step(state, sb)
+        losses.append(np.asarray(out["loss_items"]))
+    return np.stack(losses).mean(axis=0) if losses else np.zeros(5)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = setup(args)
+
+    train_ds = create_dataset(cfg.DATASET.PATH, cfg, is_training=True, split="train")
+    test_ds = create_dataset(cfg.DATASET.PATH, cfg, is_training=False, split="test")
+    # dataset-derived rect size feeds the jitted programs (dataset_reader.py:55-61)
+    cfg.INPUT_SIZE = tuple(train_ds.img_size)
+
+    mesh = create_mesh_for_batch(cfg, cfg.BATCH_SIZE)
+    if is_master():
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} over {mesh.devices.size} device(s)")
+    train_loader = DataLoader(train_ds, cfg.BATCH_SIZE, shuffle=True, seed=args.seed)
+    test_loader = DataLoader(
+        test_ds, min(cfg.BATCH_SIZE, len(test_ds)), shuffle=False, drop_last=False
+    )
+
+    model = create_model(cfg)
+    import jax.numpy as jnp
+
+    w, h = cfg.INPUT_SIZE
+    variables = model.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, h, w, 3)))
+    if is_master():
+        print(f"model: {cfg.MODEL.BACKBONE}, params: {num_parameters(variables)/1e6:.2f}M, input {w}x{h}")
+
+    # pretrained import (.pt/.pth via suffix matching, check_point.py:14-92)
+    mode = str(cfg.TRAINING.CHECKPOINT_MODE).lower()
+    ckpt_file = cfg.TRAINING.CHECKPOINT_FILE
+    if mode == "pretrained" and ckpt_file and os.path.exists(ckpt_file):
+        if ckpt_file.endswith((".pt", ".pth", ".pkl")):
+            sd = load_torch_state_dict(ckpt_file)
+            variables, report = import_torch_weights(variables, sd)
+            if is_master():
+                print(f"imported {len(report['loaded'])} tensors from {ckpt_file}; "
+                      f"{len(report['missed'])} missed")
+
+    steps_per_epoch = max(len(train_loader), 1)
+    tx, schedule = build_optimizer(
+        cfg, variables["params"], max_iters=cfg.SOLVER.MAX_EPOCH * steps_per_epoch
+    )
+    state = replicate_state(mesh, TrainState.create(variables, tx))
+
+    save_dir = os.path.join(cfg.TRAINING.WEIGHTS, cfg.MODEL.BACKBONE)
+    checkpointer = CheckPointer(save_dir)
+    start_epoch, min_loss = 0, float("inf")
+    if mode == "resume" and checkpointer.has_checkpoint():
+        state, meta = checkpointer.load(state, use_latest=True)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        min_loss = float(meta.get("min_loss", float("inf")))
+        state = replicate_state(mesh, state)
+        if is_master():
+            print(f"resumed from epoch {start_epoch}, min_loss {min_loss:.4f}")
+
+    train_step = make_train_step(model, cfg, tx)
+    eval_step = make_eval_loss_step(model, cfg)
+
+    tb_writer = None
+    if is_master():
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb_writer = SummaryWriter(
+                os.path.join(cfg.TRAINING.LOGDIR, cfg.MODEL.BACKBONE)
+            )
+        except ImportError:
+            pass
+
+    for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        train_loader.set_epoch(epoch)
+        mloss = np.zeros(5)
+        t_ep = time.time()
+        for i, batch in enumerate(train_loader):
+            sb = shard_batch(mesh, {"image": batch["image"], "labels": batch["labels"]})
+            state, metrics = train_step(state, sb)
+            items = np.asarray(metrics["loss_items"])
+            if not np.isfinite(items[-1]):
+                # non-finite loss abort (train.py:97-99)
+                print(f"WARNING: non-finite loss {items}, aborting epoch")
+                break
+            mloss = (mloss * i + items) / (i + 1)
+            if is_master():
+                step = int(jax.device_get(state.step))
+                if tb_writer is not None:
+                    for name, v in zip(LOSS_NAMES, items):
+                        tb_writer.add_scalar(f"loss/{name}", float(v), step)
+                if i % 10 == 0:
+                    lr = float(jax.device_get(schedule(step)))
+                    print(
+                        f"epoch {epoch} it {i}/{steps_per_epoch} "
+                        + " ".join(f"{n}={v:.4f}" for n, v in zip(LOSS_NAMES, mloss))
+                        + f" lr={lr:.2e} ntgt={int(metrics['num_targets'])}"
+                    )
+
+        test_items = mloss
+        if (epoch + 1) % args.test_interval == 0 and len(test_loader) > 0:
+            test_items = run_eval_epoch(eval_step, state, test_loader, mesh)
+            if is_master():
+                print(
+                    f"epoch {epoch} test: "
+                    + " ".join(f"{n}={v:.4f}" for n, v in zip(LOSS_NAMES, test_items))
+                    + f" ({time.time() - t_ep:.1f}s)"
+                )
+
+        if is_master():
+            # per-epoch checkpoint + best tracking by test loss (train.py:158-162)
+            test_total = float(test_items[-1])
+            checkpointer.save(
+                f"model_{epoch:07d}", jax.device_get(state), epoch=epoch, min_loss=min_loss
+            )
+            if test_total < min_loss:
+                min_loss = test_total
+                checkpointer.save(
+                    "model_best", jax.device_get(state), epoch=epoch, min_loss=min_loss
+                )
+    if tb_writer is not None:
+        tb_writer.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

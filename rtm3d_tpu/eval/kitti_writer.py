@@ -33,6 +33,9 @@ def detections_to_lines(det: Dict[str, np.ndarray], class_names: Sequence[str], 
         x1, y1, x2, y2 = (float(v) for v in det["bbox2d"][img_index][i])
         h, w, l = (float(v) for v in det["dim"][img_index][i])
         x, y, z = (float(v) for v in det["loc"][img_index][i])
+        # the 3D solver parameterises Y at the box center (solve3d.py);
+        # KITTI location is the bottom-face center
+        y = y + h / 2
         ry = float(det["ry"][img_index][i])
         score = float(det["scores"][img_index][i])
         alpha = alpha_from_ry(ry, x, z)

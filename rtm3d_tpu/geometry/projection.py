@@ -57,12 +57,15 @@ def rotation_y(ry):
     return rows
 
 
-def corners_3d(dimension, location, ry):
+def corners_3d(dimension, location, ry, bottom_center: bool = False):
     """3D corners of a yaw-rotated box. Batched.
 
     dimension: (..., 3) = (h, w, l); location: (..., 3); ry: (...,)
+    ``bottom_center=True`` treats location as the KITTI-standard bottom-face
+    center (label y is the box bottom); False treats it as the geometric
+    center (the convention of the reference's own create_corners,
+    utils/model_utils.py:80-119).
     Returns (..., 3, 9): 8 corners + center in camera coordinates.
-    Reference: utils/model_utils.py:80-119 (create_corners).
     """
     xp = _xp(dimension)
     signs = xp.asarray(CORNER_SIGNS, dtype=dimension.dtype)  # (3, 9)
@@ -73,22 +76,35 @@ def corners_3d(dimension, location, ry):
     scaled = half[..., :, None] * signs  # (..., 3, 9)
     R = rotation_y(ry)  # (..., 3, 3)
     rotated = xp.matmul(R, scaled)  # (..., 3, 9)
-    return rotated + location[..., :, None]
+    center = location
+    if bottom_center:
+        # KITTI: y points down; the box center sits h/2 ABOVE the label y
+        off = xp.stack(
+            [
+                xp.zeros_like(dimension[..., 0]),
+                -dimension[..., 0] * 0.5,
+                xp.zeros_like(dimension[..., 0]),
+            ],
+            axis=-1,
+        )
+        center = location + off
+    return rotated + center[..., :, None]
 
 
-def proj2d_bbox3d(dimension, location, ry, K, eps: float = 1e-6):
+def proj2d_bbox3d(dimension, location, ry, K, eps: float = 1e-6, bottom_center: bool = True):
     """Project 3D boxes to the image. The devkit-replacement.
 
-    dimension: (N, 3) (h,w,l); location: (N, 3); ry: (N,); K: (N, 3, 3).
+    dimension: (N, 3) (h,w,l); location: (N, 3) KITTI bottom-center by
+    default; ry: (N,); K: (N, 3, 3).
     Returns:
       verts_uv: (N, 2, 9) pixel coords of 8 corners + center
       bboxes_2d: (N, 4) xyxy from min/max over the 8 corners
-      mask_3d:   (N,) bool — box center in front of the camera (z > 0)
+      mask_3d:   (N,) bool — box in front of the camera (z > 0)
     Layout matches the external ``kitti_utils.calc_proj2d_bbox3d`` call sites
     (reference: datasets/dataset_reader.py:235-243, models/rtm3d_loss.py:181-189).
     """
     xp = _xp(dimension)
-    pts = corners_3d(dimension, location, ry)  # (N, 3, 9)
+    pts = corners_3d(dimension, location, ry, bottom_center=bottom_center)  # (N, 3, 9)
     proj = xp.matmul(K, pts)  # (N, 3, 9)
     z = proj[:, 2:3, :]
     uv = proj[:, :2, :] / (z + eps)

@@ -37,6 +37,20 @@ def create_mesh(cfg: Config | None = None, devices=None, axes=None, shape=None) 
     return Mesh(dev_array, axes)
 
 
+def create_mesh_for_batch(cfg: Config, batch_size: int) -> Mesh:
+    """Mesh over the largest device count whose data axis divides the batch.
+    (The reference instead divides BATCH_SIZE by ngpus and errors on
+    mismatch, model_factory.py:61-62.)"""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    axes = tuple(cfg.TPU.MESH_AXES)
+    if "spatial" in axes and n == len(devices):
+        return create_mesh(cfg, devices=devices)
+    return create_mesh(cfg=None, devices=devices[:n], axes=("data",), shape=(n,))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Images + labels sharded on batch; optionally height on 'spatial'."""
     axes = mesh.axis_names

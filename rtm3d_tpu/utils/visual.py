@@ -1,0 +1,59 @@
+"""cv2 drawing utilities (reference: utils/visual_utils.py:46-251).
+
+Headless-friendly: helpers return/overwrite images; callers save to disk
+(the reference's cv2.imshow loop assumed an X display)."""
+
+from __future__ import annotations
+
+import cv2
+import numpy as np
+
+from rtm3d_tpu.geometry.projection import corners_3d
+
+# edge order for the 12 box edges through the 8 projected corners
+# (reference visual_utils.py:99,134)
+OUTLINE = [0, 1, 3, 2, 0, 4, 5, 7, 6, 4, 5, 1, 3, 7, 6, 2]
+
+_COLORS = [(0, 255, 0), (255, 128, 0), (0, 128, 255)]
+
+
+def draw_bbox2d(img, bboxes, classes=None, scores=None, names=None):
+    for i, b in enumerate(np.asarray(bboxes).astype(int)):
+        c = _COLORS[int(classes[i]) % 3] if classes is not None else (0, 255, 0)
+        cv2.rectangle(img, (b[0], b[1]), (b[2], b[3]), c, 1)
+        if scores is not None:
+            label = f"{names[int(classes[i])] if names else ''} {float(scores[i]):.2f}"
+            cv2.putText(img, label, (b[0], max(b[1] - 2, 8)), cv2.FONT_HERSHEY_PLAIN, 0.8, c, 1)
+    return img
+
+
+def draw_bbox3d_from_vertices(img, verts, color=(0, 255, 255)):
+    """verts: (8, 2) projected corners in the reference sign order."""
+    v = np.asarray(verts).astype(int)
+    for i in range(len(OUTLINE) - 1):
+        a, b = OUTLINE[i], OUTLINE[i + 1]
+        cv2.line(img, tuple(v[a]), tuple(v[b]), color, 1)
+    return img
+
+
+def draw_bbox3d(img, dim, loc, ry, K, color=(0, 255, 255), bottom_center=False):
+    """Project (dim, loc, ry) through K and draw (visual_utils.py:60-73).
+    Pass bottom_center=True for KITTI-convention locations."""
+    pts = corners_3d(
+        np.asarray(dim)[None], np.asarray(loc)[None], np.asarray([ry]), bottom_center
+    )[0]
+    proj = K @ pts
+    uv = (proj[:2] / np.maximum(proj[2:3], 1e-6)).T[:8]
+    return draw_bbox3d_from_vertices(img, uv, color)
+
+
+def draw_keypoints(img, points, color=(0, 0, 255)):
+    for p in np.asarray(points).astype(int):
+        cv2.circle(img, tuple(p), 2, color, -1)
+    return img
+
+
+def denormalize(img, mean, std):
+    """Invert the Normalize transform for display (detect.py:50-52)."""
+    out = (img * np.asarray(std) + np.asarray(mean)) * 255.0
+    return np.clip(out, 0, 255).astype(np.uint8)

@@ -64,8 +64,10 @@ def test_decode_threshold_and_topk():
 
 
 def _project_gt(dim, loc, ry, K):
+    # center convention: the LM solver parameterises Y at the box center
     uv, _, _ = proj2d_bbox3d(
-        np.asarray([dim]), np.asarray([loc]), np.asarray([ry]), np.asarray([K])
+        np.asarray([dim]), np.asarray([loc]), np.asarray([ry]), np.asarray([K]),
+        bottom_center=False,
     )
     return np.transpose(uv[0], (1, 0))[:8]  # (8, 2)
 

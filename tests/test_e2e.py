@@ -1,0 +1,96 @@
+"""End-to-end slice: synthetic KITTI -> train CLI -> detect CLI -> AP eval.
+
+This is the SURVEY.md §7 'minimum end-to-end slice' exercised as a test:
+config, data, model, loss, solver, checkpoint, decode, 3D recovery, KITTI
+writer and AP evaluator all in one pass, CPU-runnable.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from rtm3d_tpu.data.synthetic import generate_kitti
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data = generate_kitti(
+        os.path.join(str(root), "kitti"), num_train=4, num_test=2, img_hw=(96, 128), max_objs=3
+    )
+    cfg_path = os.path.join(str(root), "cfg.yaml")
+    cfg = {
+        "INPUT_SIZE": "(128, 128)",
+        "IS_RECT": True,
+        "BATCH_SIZE": 2,
+        "DATASET": {"PATH": data, "MAX_OBJS": 8},
+        "MODEL": {
+            "BACKBONE": "RESNET-18",
+            "KFNs": ["layer1", "layer2", "layer3", "layer4"],
+        },
+        "TRAINING": {"WEIGHTS": os.path.join(str(root), "weights"), "LOGDIR": os.path.join(str(root), "logs"), "CHECKPOINT_MODE": "start"},
+        "SOLVER": {
+            "BASE_LR": 0.001,
+            "MAX_EPOCH": 2,
+            "WARMUP_ITERS": 2,
+            "STEPS": "(1000, 2000)",
+        },
+        "DETECTOR": {"SCORE_THRESH": 0.25, "TOPK_CANDIDATES": 10, "SOLVER_ITERS": 20},
+        "TPU": {"DONATE": False},
+    }
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    return {"root": str(root), "data": data, "cfg": cfg_path}
+
+
+def test_train_cli_runs_and_checkpoints(workdir):
+    from rtm3d_tpu.cli.train import main
+
+    state = main(["--model-config", workdir["cfg"]])
+    assert state is not None
+    wdir = os.path.join(workdir["root"], "weights", "RESNET-18")
+    assert os.path.exists(os.path.join(wdir, "last_checkpoint"))
+    assert os.path.exists(os.path.join(wdir, "model_best.msgpack"))
+
+
+def test_detect_and_evaluate_cli(workdir):
+    from rtm3d_tpu.cli.evaluate import main as eval_main
+
+    wdir = os.path.join(workdir["root"], "weights", "RESNET-18")
+    out_dir = os.path.join(workdir["root"], "results")
+    results = eval_main(
+        [
+            "--model-config", workdir["cfg"],
+            "--data-path", workdir["data"],
+            "--split", "test",
+            "--checkpoint", os.path.join(wdir, "model_best.msgpack"),
+            "--out-dir", out_dir,
+            "--batch-size", "2",
+        ]
+    )
+    # result files exist for every test image
+    with open(os.path.join(workdir["data"], "ImageSets", "test.txt")) as f:
+        names = f.read().splitlines()
+    for n in names:
+        assert os.path.exists(os.path.join(out_dir, f"{n}.txt"))
+    # AP keys present (2 epochs on 4 images won't detect anything real)
+    assert "Car_3d_moderate" in results
+
+
+def test_resume_from_checkpoint(workdir):
+    """CHECKPOINT_MODE=resume restores epoch and continues (train.py:137-145,
+    without the reference's case-sensitivity bug)."""
+    from rtm3d_tpu.cli.train import main
+
+    state = main(
+        [
+            "--model-config", workdir["cfg"],
+            "--num-epochs", "3",
+            "--set", "TRAINING.CHECKPOINT_MODE", "resume",
+        ]
+    )
+    # trained 2 epochs before; resume runs exactly 1 more
+    assert int(np.asarray(state.step)) >= 2

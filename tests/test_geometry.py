@@ -69,15 +69,20 @@ def test_corners_3d_axis_order():
 def test_proj2d_bbox3d_center_projection():
     K = np.array([[[721.5, 0, 609.5], [0, 721.5, 172.8], [0, 0, 1.0]]])
     dim = np.array([[1.5, 1.6, 3.9]])
-    loc = np.array([[2.0, 1.5, 20.0]])
+    loc = np.array([[2.0, 1.5, 20.0]])  # KITTI bottom-center
     ry = np.array([0.3])
     uv, bbox2d, mask3d = proj2d_bbox3d(dim, loc, ry, K)
     assert uv.shape == (1, 2, 9)
     assert bool(mask3d[0])
-    # center projects to K @ loc / z
+    # box center = bottom-center raised by h/2 projects to K @ c / z
+    cy = 1.5 - 1.5 / 2
     exp_u = 721.5 * 2.0 / 20.0 + 609.5
-    exp_v = 721.5 * 1.5 / 20.0 + 172.8
+    exp_v = 721.5 * cy / 20.0 + 172.8
     assert np.allclose(uv[0, :, 8], [exp_u, exp_v], atol=1e-2)
+    # center-convention variant keeps the reference create_corners semantics
+    uv_c, _, _ = proj2d_bbox3d(dim, loc, ry, K, bottom_center=False)
+    exp_v_c = 721.5 * 1.5 / 20.0 + 172.8
+    assert np.allclose(uv_c[0, :, 8], [exp_u, exp_v_c], atol=1e-2)
     # 2D box bounds the 8 corner projections
     assert (bbox2d[0, 0] <= uv[0, 0, :8].min() + 1e-4) and (
         bbox2d[0, 2] >= uv[0, 0, :8].max() - 1e-4
@@ -94,7 +99,7 @@ def test_proj2d_matches_manual_projection(rng):
     loc = np.stack([rng.randn(N) * 5, rng.randn(N), rng.rand(N) * 40 + 5], axis=-1)
     ry = rng.uniform(-np.pi, np.pi, N)
     uv, _, _ = proj2d_bbox3d(dim, loc, ry, K)
-    pts = corners_3d(dim, loc, ry)
+    pts = corners_3d(dim, loc, ry, bottom_center=True)
     proj = np.einsum("nij,njk->nik", K, pts)
     oracle = proj[:, :2] / (proj[:, 2:3] + 1e-6)
     assert np.allclose(uv, oracle, atol=1e-4)
