@@ -40,6 +40,7 @@ def build_targets(
     gaussian_gen_type: str = "dynamic_radius",
     bbox_area_max: float = 0.2598311523503046,
     bbox_area_min: float = 0.0002022788461538487,
+    use_pallas: str | bool = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Build all loss targets on device.
 
@@ -89,9 +90,18 @@ def build_targets(
     sigma = jnp.where(mask & (sigma > 0), sigma, 1.0)  # keep exp() finite on padding
     radius = jnp.where(mask, radius, 0.0)
 
-    m_hm = _render_heatmap(
-        m_proj, cls, sigma, radius, mask, noise, (H, W), num_classes
-    )
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from rtm3d_tpu.ops.splat import splat_heatmap_pallas
+
+        m_hm = splat_heatmap_pallas(
+            m_proj, cls, sigma, radius, mask, noise, (H, W), num_classes
+        )
+    else:
+        m_hm = _render_heatmap(
+            m_proj, cls, sigma, radius, mask, noise, (H, W), num_classes
+        )
 
     return {
         "m_hm": m_hm,
