@@ -23,6 +23,10 @@ H, W = 384, 1280
 
 def main():
     import jax
+
+    from rtm3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from rtm3d_tpu.config import default_config

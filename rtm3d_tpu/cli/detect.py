@@ -66,6 +66,9 @@ def load_variables(cfg, model, checkpoint, input_size):
 
 
 def main(argv=None):
+    from rtm3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     cfg = load_config(args.model_config, args.set)
     if args.data_path:

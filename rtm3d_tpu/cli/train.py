@@ -77,6 +77,9 @@ def run_eval_epoch(eval_step, state, loader, mesh):
 
 
 def main(argv=None):
+    from rtm3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     cfg = setup(args)
 

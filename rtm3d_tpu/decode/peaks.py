@@ -33,11 +33,22 @@ def nms_peaks(hm: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
     return jnp.where(hmax == hm, hm, 0.0)
 
 
+def _top_k(flat: jnp.ndarray, k: int, approx: bool):
+    """Top-k over the flattened heatmap. On TPU ``lax.approx_max_k`` uses the
+    hardware-optimised partial-reduce path (~10x faster than exact top_k on
+    ~1e5-element rows); after 3x3 peak-NMS the heatmap is sparse, so with
+    recall_target=0.99 the approximation is inconsequential for k peaks."""
+    if approx:
+        return jax.lax.approx_max_k(flat, k, recall_target=0.99)
+    return jax.lax.top_k(flat, k)
+
+
 def decode_detections(
     logits,
     score_thresh: float = 0.4,
     topk: int = 100,
     down_sample: float = 4.0,
+    approx_topk: bool | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """logits: NHWC (main_kf, offset_fr_main, main_offset, vertex_offset).
 
@@ -57,7 +68,9 @@ def decode_detections(
     # (B, H, W, C) -> (B, C, H, W) -> (B, C*H*W): index = c*H*W + y*W + x,
     # matching the reference's flatten order (model.py:88-97).
     flat = jnp.transpose(hm, (0, 3, 1, 2)).reshape(B, C * H * W)
-    scores, indices = jax.lax.top_k(flat, topk)
+    if approx_topk is None:
+        approx_topk = jax.default_backend() == "tpu"
+    scores, indices = _top_k(flat, topk, approx_topk)
     valid = scores > score_thresh
     cls = indices // (H * W)
     xy = indices % (H * W)

@@ -1,13 +1,20 @@
-"""Batched geometric 3D box recovery: vmapped Levenberg-Marquardt.
+"""Batched geometric 3D box recovery: vectorised Levenberg-Marquardt.
 
 The reference recovers (Ry, dimensions, location) per detection with a Python
 loop over scipy L-BFGS-B (utils/model_utils.py:264-312; the constraint set it
 passes is silently ignored by that method, so the problem is effectively
 unconstrained). Here the same 8-unknown reprojection objective
 x = [sin t, cos t, l, h, w, X, Y, Z] (aimFun, model_utils.py:155-177, with its
-z + 1e-4 guard) is minimised by a fixed-iteration damped Gauss-Newton /
-Levenberg-Marquardt loop, vmapped over all detections of the whole batch —
-one jitted program, no host round-trips, 8x8 solves on the MXU.
+z + 1e-4 guard) is minimised by a fixed-iteration Levenberg-Marquardt loop
+that is vectorised over ALL detections of the whole batch at once:
+
+- residuals and the 16x8 Jacobian in closed form (the reference spells the
+  same analytic Jacobian at model_utils.py:206-234), as (M, ...) array ops;
+- J^T J via batched matmul (MXU);
+- the damped 8x8 normal-equation solve as an UNROLLED batched Gauss-Jordan
+  elimination — pure (M,)-wide vector ops on the VPU, no per-detection LU.
+  (vmapped ``jnp.linalg.solve`` costs ~100 ms for 800 detections on a v5e;
+  this formulation runs the whole solver in a few ms.)
 
 Acceptance matches the reference: final cost < RESIDUAL_THRESH (0.1)
 (model_utils.py:298), surfaced as a mask instead of a dynamic filter.
@@ -34,44 +41,99 @@ _Z_GUARD = 1e-4  # aimFun's additive z guard (model_utils.py:162)
 
 
 def _residuals(x, K, uv):
-    """Reprojection residuals, (16,). K: (3,3); uv: (8, 2) target pixels."""
-    s, c, l, h, w, X, Y, Z = (x[i] for i in range(8))
-    cor = jnp.asarray(COR)
-    xc = cor[0] * l * c + cor[2] * w * s + X
-    yc = cor[1] * h + Y
-    zc = -cor[0] * l * s + cor[2] * w * c + Z
-    u = xc * K[0, 0] / (zc + _Z_GUARD) + K[0, 2]
-    v = yc * K[1, 1] / (zc + _Z_GUARD) + K[1, 2]
-    return jnp.concatenate([u - uv[:, 0], v - uv[:, 1]])
+    """Single-detection residuals (16,) — kept for tests/fixtures."""
+    r, _ = _residuals_batch(x[None], K[None], uv[None])
+    return r[0]
 
 
-def _lm_single(uv, x0, K, iters: int, lam0: float = 1e-3):
-    """LM minimisation of sum(r^2) for one detection. Returns (x, cost)."""
+def _residuals_batch(x, K, uv):
+    """x: (M, 8); K: (M, 3, 3); uv: (M, 8, 2). Returns (r (M, 16), aux)."""
+    s, c, l, h, w = x[:, 0:1], x[:, 1:2], x[:, 2:3], x[:, 3:4], x[:, 4:5]
+    X, Y, Z = x[:, 5:6], x[:, 6:7], x[:, 7:8]
+    a = jnp.asarray(COR[0])[None, :]  # (1, 8)
+    bc = jnp.asarray(COR[1])[None, :]
+    b = jnp.asarray(COR[2])[None, :]
+    xc = a * l * c + b * w * s + X  # (M, 8)
+    yc = bc * h + Y
+    zc = -a * l * s + b * w * c + Z
+    z = zc + _Z_GUARD
+    fx = K[:, 0, 0][:, None]
+    fy = K[:, 1, 1][:, None]
+    cx = K[:, 0, 2][:, None]
+    cy = K[:, 1, 2][:, None]
+    ru = fx * xc / z + cx - uv[..., 0]
+    rv = fy * yc / z + cy - uv[..., 1]
+    r = jnp.concatenate([ru, rv], axis=-1)  # (M, 16)
+    return r, (xc, yc, z, a, bc, b, fx, fy, s, c, l, h, w)
 
-    def cost_fn(x):
-        r = _residuals(x, K, uv)
-        return jnp.sum(r * r)
 
-    jac = jax.jacfwd(lambda x: _residuals(x, K, uv))
+def _jacobian_batch(aux):
+    """Closed-form J (M, 16, 8) for the residual layout above."""
+    xc, yc, z, a, bc, b, fx, fy, s, c, l, h, w = aux
+    M = xc.shape[0]
+    zero = jnp.zeros_like(xc)
+    one = jnp.ones_like(xc)
+    # partials of xc / yc / zc wrt [s, c, l, h, w, X, Y, Z] — each (M, 8)
+    dxc = [b * w, a * l, a * c, zero, b * s, one, zero, zero]
+    dyc = [zero, zero, zero, bc + zero, zero, zero, one, zero]
+    dzc = [-a * l, b * w, -a * s, zero, b * c, zero, zero, one]
+    inv_z = 1.0 / z
+    inv_z2 = inv_z * inv_z
+    ju = [fx * (dx * z - dz * xc) * inv_z2 for dx, dz in zip(dxc, dzc)]
+    jv = [fy * (dy * z - dz * yc) * inv_z2 for dy, dz in zip(dyc, dzc)]
+    Ju = jnp.stack(ju, axis=-1)  # (M, 8, 8) params last
+    Jv = jnp.stack(jv, axis=-1)
+    return jnp.concatenate([Ju, Jv], axis=1)  # (M, 16, 8)
+
+
+def _gauss_jordan_solve(A, b):
+    """Solve A x = b for batched SPD (M, 8, 8) via unrolled Gauss-Jordan —
+    no pivoting (A is LM-damped SPD), all ops (M,)-vectorised."""
+    n = A.shape[-1]
+    for k in range(n):
+        piv = A[:, k, k:k + 1]  # (M, 1)
+        inv = 1.0 / jnp.where(jnp.abs(piv) > 1e-12, piv, 1e-12)
+        rowk = A[:, k, :] * inv  # (M, n)
+        bk = b[:, k:k + 1] * inv  # (M, 1)
+        ek = jnp.zeros((n,), A.dtype).at[k].set(1.0)
+        coef = A[:, :, k] * (1.0 - ek)[None, :]  # (M, n): zero for row k
+        A = A - coef[:, :, None] * rowk[:, None, :]
+        A = A.at[:, k, :].set(rowk)
+        b = b - coef * bk
+        b = b.at[:, k].set(bk[:, 0])
+    return b
+
+
+def _lm_batch(uv, x0, K, iters: int, lam0: float = 1e-3):
+    """Vectorised LM over (M,) detections. Returns (x (M, 8), cost (M,))."""
+
+    def cost_of(x):
+        r, _ = _residuals_batch(x, K, uv)
+        return jnp.sum(r * r, axis=-1)
+
+    M = x0.shape[0]
 
     def body(carry, _):
         x, lam, cost = carry
-        r = _residuals(x, K, uv)
-        J = jac(x)  # (16, 8)
-        JtJ = J.T @ J
-        g = J.T @ r
-        A = JtJ + lam * jnp.diag(jnp.diag(JtJ)) + 1e-9 * jnp.eye(8)
-        step = jnp.linalg.solve(A, g)
+        r, aux = _residuals_batch(x, K, uv)
+        J = _jacobian_batch(aux)  # (M, 16, 8)
+        JtJ = jnp.einsum("mij,mik->mjk", J, J)
+        g = jnp.einsum("mij,mi->mj", J, r)
+        diag = jnp.diagonal(JtJ, axis1=-2, axis2=-1)  # (M, 8)
+        A = JtJ + (lam[:, None] * diag + 1e-9)[:, None, :] * jnp.eye(8)[None]
+        step = _gauss_jordan_solve(A, g)
         x_new = x - step
-        cost_new = cost_fn(x_new)
+        cost_new = cost_of(x_new)
         better = cost_new < cost
-        x = jnp.where(better, x_new, x)
+        x = jnp.where(better[:, None], x_new, x)
         cost2 = jnp.where(better, cost_new, cost)
-        lam = jnp.where(better, jnp.maximum(lam * 0.33, 1e-9), jnp.minimum(lam * 3.0, 1e6))
+        lam = jnp.where(
+            better, jnp.maximum(lam * 0.33, 1e-9), jnp.minimum(lam * 3.0, 1e6)
+        )
         return (x, lam, cost2), None
 
-    cost0 = cost_fn(x0)
-    (x, _, cost), _ = jax.lax.scan(body, (x0, lam0, cost0), None, length=iters)
+    lam = jnp.full((M,), lam0, jnp.float32)
+    (x, _, cost), _ = jax.lax.scan(body, (x0, lam, cost_of(x0)), None, length=iters)
     return x, cost
 
 
@@ -91,6 +153,8 @@ def solve_bbox3d(
     ref_loc: (3,) initial location (detect.py:74 uses [0, -0.5, 20]).
 
     Returns dict ry (...,), dim (..., 3) (h,w,l), loc (..., 3), cost (...,).
+    ``loc`` Y is the box CENTER (the solver's parameterisation); KITTI
+    bottom-center output adds h/2 (see eval/kitti_writer.py).
     Callers AND the cost-threshold mask with decode validity.
     """
     batch_shape = cls.shape
@@ -99,18 +163,32 @@ def solve_bbox3d(
     Kf = K.reshape((-1, 3, 3)).astype(jnp.float32)
 
     d0 = dim_ref[jnp.clip(cc, 0, dim_ref.shape[0] - 1)]  # (M, 3) h, w, l
-    x0 = jnp.concatenate(
-        [
-            jnp.zeros((cc.shape[0], 1), jnp.float32),  # sin = 0
-            jnp.ones((cc.shape[0], 1), jnp.float32),  # cos = 1
-            d0[:, 2:3],  # l
-            d0[:, 0:1],  # h
-            d0[:, 1:2],  # w
-            jnp.broadcast_to(ref_loc.astype(jnp.float32), (cc.shape[0], 3)),
-        ],
-        axis=-1,
-    )
-    x, cost = jax.vmap(lambda u, x0_, k: _lm_single(u, x0_, k, iters))(uv, x0, Kf)
+    M = cc.shape[0]
+
+    def make_x0(cos0):
+        return jnp.concatenate(
+            [
+                jnp.zeros((M, 1), jnp.float32),  # sin = 0
+                jnp.full((M, 1), cos0, jnp.float32),
+                d0[:, 2:3],  # l
+                d0[:, 0:1],  # h
+                d0[:, 1:2],  # w
+                jnp.broadcast_to(ref_loc.astype(jnp.float32), (M, 3)),
+            ],
+            axis=-1,
+        )
+
+    # Dual orientation init: the reprojection objective has deep local minima
+    # near the pi-flipped yaw; the reference's single (sin=0, cos=1) init
+    # (model_utils.py:294) gets stuck there (so does scipy). Run both
+    # orientations through the vectorised solver and keep the better fit.
+    x0 = jnp.concatenate([make_x0(1.0), make_x0(-1.0)], axis=0)
+    uv2 = jnp.concatenate([uv, uv], axis=0)
+    K2 = jnp.concatenate([Kf, Kf], axis=0)
+    x2, cost2 = _lm_batch(uv2, x0, K2, iters)
+    pick = (cost2[:M] <= cost2[M:])[:, None]
+    x = jnp.where(pick, x2[:M], x2[M:])
+    cost = jnp.minimum(cost2[:M], cost2[M:])
 
     ry = jnp.arctan2(x[:, 0], x[:, 1])
     # The raw (sin, cos) pair is unnormalised (the reference's s^2+c^2=1

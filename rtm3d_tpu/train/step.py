@@ -139,7 +139,19 @@ def make_detect_step(model, cfg: Config, with_3d: bool = True) -> Callable:
     iters = int(cfg.DETECTOR.SOLVER_ITERS)
     res_thresh = float(cfg.DETECTOR.RESIDUAL_THRESH)
 
+    compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
+
     def detect_step(variables, images, K):
+        if compute_dtype != jnp.float32:
+            # true mixed-precision inference: params cast to the compute dtype
+            # so XLA runs the convs on the MXU in bf16 (fp32 flax params would
+            # otherwise re-promote the whole graph); decode/solver stay fp32.
+            variables = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype)
+                if getattr(p, "dtype", None) == jnp.float32
+                else p,
+                variables,
+            )
         logits = model.apply(variables, images, train=False)
         det = decode_detections(
             logits,
