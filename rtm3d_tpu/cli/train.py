@@ -119,7 +119,9 @@ def main(argv=None):
     tx, schedule = build_optimizer(
         cfg, variables["params"], max_iters=cfg.SOLVER.MAX_EPOCH * steps_per_epoch
     )
-    state = replicate_state(mesh, TrainState.create(variables, tx))
+    state = replicate_state(
+        mesh, TrainState.create(variables, tx, with_ema=bool(cfg.TRAINING.EMA))
+    )
 
     save_dir = os.path.join(cfg.TRAINING.WEIGHTS, cfg.MODEL.BACKBONE)
     checkpointer = CheckPointer(save_dir)

@@ -106,6 +106,8 @@ def default_config() -> Config:
         W_VFM=1.0,
         W_M_OFF=0.5,
         W_V_OFF=0.5,
+        EMA=False,          # ModelEMA parity (module.py:71-119; dead in reference)
+        EMA_DECAY=0.9999,
     )
 
     c.DATASET = Config(
@@ -149,6 +151,7 @@ def default_config() -> Config:
         LOAD_SOLVER=True,
         BIAS_LR_FACTOR=1.0,
         WEIGHT_DECAY_BIAS=0.0005,
+        ACCUMULATE_STEPS=1,  # gradient accumulation (reference solver.py:65, dead)
         # Adamax's fixed decoupled weight decay in the reference
         # (OptimizerBuilder.py:34-36: Adamax(lr, weight_decay=1e-4) -> L2)
         ADAMAX_WEIGHT_DECAY=1e-4,

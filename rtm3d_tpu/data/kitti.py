@@ -191,6 +191,46 @@ class KITTIDataset:
             "noise_mask": noise_mask.astype(bool),
         }
 
+    def _apply_mosaic(self, images, labels_list, rng):
+        """4-tile mosaic composition + RandomAffine2D
+        (reference: dataset_reader.py:140-173). Only active when
+        cfg.IS_MOSAIC and training (like the reference's __getitem__:84-115)."""
+        from rtm3d_tpu.data.transforms import RandomAffine2D
+
+        sw, sh = self.img_size
+        c = images[0].shape[2]
+        mean_rgb = np.mean(
+            [np.array(cv2.mean(im))[:3] for im in images], axis=0
+        )
+        img4 = np.full((sh * 2, sw * 2, c), mean_rgb, dtype=np.uint8)
+        offsets = [(0, 0), (sw, 0), (0, sh), (sw, sh)]
+        merged = None
+        for (ox, oy), im, lab in zip(offsets, images, labels_list):
+            h, w = im.shape[:2]
+            pad_w = int(sw - w) // 2
+            pad_h = int(sh - h) // 2
+            y0, x0 = pad_h + oy, pad_w + ox
+            img4[y0 : y0 + h, x0 : x0 + w] = im
+            lab["bbox"][:, 0::2] = np.clip(lab["bbox"][:, 0::2] + x0, 0, 2 * sw)
+            lab["bbox"][:, 1::2] = np.clip(lab["bbox"][:, 1::2] + y0, 0, 2 * sh)
+            lab["K"][:, 2] += x0
+            lab["K"][:, 5] += y0
+            if merged is None:
+                merged = {k: v.copy() for k, v in lab.items()}
+            else:
+                merged = {
+                    k: np.concatenate([merged[k], lab[k]], axis=0) for k in merged
+                }
+        aug = RandomAffine2D()
+        params = {
+            "degrees": self._cfg.DATASET.aug_degrees,
+            "translate": self._cfg.DATASET.aug_translate,
+            "scale": self._cfg.DATASET.aug_scale,
+            "shear": self._cfg.DATASET.aug_shear,
+            "border": (-sh // 2, -sw // 2),
+        }
+        return aug(img4, merged, rng=rng, **params)
+
     def _apply_padding(self, img, labels):
         """Mean-colour pad to (W, H) with bbox/K shift (dataset_reader.py:175-195)."""
         sw, sh = self.img_size
@@ -230,11 +270,26 @@ class KITTIDataset:
 
     def __getitem__(self, index, rng=None):
         rng = rng or np.random
-        img = self._imread(self._image_files[index])
-        labels = self._raw_labels(index)
-        if self._augment is not None:
-            img, labels = self._augment(img, labels, rng=rng)
-        img, labels = self._apply_padding(img, labels)
+        if self._cfg.IS_MOSAIC and self.is_training:
+            # 3 extra random tiles (dataset_reader.py:83-85)
+            indices = [index] + [
+                int(rng.randint(0, len(self._labels))) for _ in range(3)
+            ]
+            images, labs = [], []
+            for i in indices:
+                im = self._imread(self._image_files[i])
+                lab = self._raw_labels(i)
+                if self._augment is not None:
+                    im, lab = self._augment(im, lab, rng=rng)
+                images.append(im)
+                labs.append(lab)
+            img, labels = self._apply_mosaic(images, labs, rng)
+        else:
+            img = self._imread(self._image_files[index])
+            labels = self._raw_labels(index)
+            if self._augment is not None:
+                img, labels = self._augment(img, labels, rng=rng)
+            img, labels = self._apply_padding(img, labels)
         img = (img.astype(np.float32) / 255.0 - self._norm["mean_rgb"]) / self._norm[
             "std_rgb"
         ]

@@ -168,6 +168,82 @@ class RandomMirror:
         return img, labels
 
 
+class RandomAffine2D:
+    """Full rotation/translate/shear/scale homography for mosaic composition
+    (transforms.py:372-445). Boxes are re-fit from their 4 warped corners;
+    degenerate results (tiny, over-cropped, extreme aspect, center outside)
+    are masked out with the reference's exact criteria.
+
+    Parity note: like the reference, this does NOT update K — rotation/shear
+    cannot be expressed as intrinsics. Mosaic mode is therefore only
+    consistent for the 2D heatmap/bbox targets (the reference ships with
+    IS_MOSAIC=False for the same reason, detault.py:6).
+    """
+
+    def __call__(
+        self,
+        img,
+        labels=None,
+        rng=None,
+        degrees=0.0,
+        translate=0.0,
+        scale=0.5,
+        shear=0.0,
+        border=None,
+        **kw,
+    ):
+        h, w = img.shape[:2]
+        if border is None:
+            border = (-h // 4, -w // 4)
+        height = h + border[0] * 2
+        width = w + border[1] * 2
+
+        R = np.eye(3)
+        a = rng.uniform(-degrees, degrees)
+        s = rng.uniform(1 - scale, 1 - scale / 2)
+        R[:2] = cv2.getRotationMatrix2D(angle=a, center=(w / 2, h / 2), scale=s)
+        T = np.eye(3)
+        T[0, 2] = rng.uniform(-translate, translate) * w + border[1]
+        T[1, 2] = rng.uniform(-translate, translate) * h + border[0]
+        S = np.eye(3)
+        S[0, 1] = np.tan(rng.uniform(-shear, shear) * np.pi / 180)
+        S[1, 0] = np.tan(rng.uniform(-shear, shear) * np.pi / 180)
+        M = S @ T @ R  # order parity (transforms.py:405)
+
+        img = cv2.warpAffine(
+            img, M[:2], dsize=(width, height), flags=cv2.INTER_LINEAR,
+            borderValue=(114, 114, 114),
+        )
+        if labels is not None and "mask" in labels:
+            bboxes = labels["bbox"].copy()
+            n = len(bboxes)
+            if n:
+                xy = np.ones((n * 4, 3))
+                xy[:, :2] = bboxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+                xy = (xy @ M.T)[:, :2].reshape(n, 8)
+                x = xy[:, [0, 2, 4, 6]]
+                y = xy[:, [1, 3, 5, 7]]
+                new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
+                bw = new[:, 2] - new[:, 0]
+                bh = new[:, 3] - new[:, 1]
+                area0 = (bboxes[:, 2] - bboxes[:, 0]) * (bboxes[:, 3] - bboxes[:, 1])
+                ar = np.maximum(bw / (bh + 1e-16), bh / (bw + 1e-16))
+                keep = (
+                    (bw > 2)
+                    & (bh > 2)
+                    & (bw * bh / (area0 * s + 1e-16) > 0.2)
+                    & (ar < 20)
+                )
+                labels["mask"] = labels["mask"] & keep
+                bboxes[keep] = new[keep]
+                cx = bboxes[:, 0::2].sum(axis=1) * 0.5
+                cy = bboxes[:, 1::2].sum(axis=1) * 0.5
+                out = (cx < 0) | (cx >= width) | (cy < 0) | (cy >= height)
+                labels["mask"] = labels["mask"] & ~out
+                labels["bbox"] = bboxes
+        return img, labels
+
+
 class RandomBrightnessContrast:
     """albumentations-equivalent: brightness/contrast jitter +-0.2, p=0.5."""
 

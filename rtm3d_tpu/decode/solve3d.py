@@ -137,7 +137,7 @@ def _lm_batch(uv, x0, K, iters: int, lam0: float = 1e-3):
     return x, cost
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "use_pallas"))
 def solve_bbox3d(
     v_proj: jnp.ndarray,
     cls: jnp.ndarray,
@@ -145,6 +145,7 @@ def solve_bbox3d(
     dim_ref: jnp.ndarray,
     ref_loc: jnp.ndarray,
     iters: int = 40,
+    use_pallas: str | bool = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Recover 3D boxes for a fixed block of detections.
 
@@ -185,7 +186,33 @@ def solve_bbox3d(
     x0 = jnp.concatenate([make_x0(1.0), make_x0(-1.0)], axis=0)
     uv2 = jnp.concatenate([uv, uv], axis=0)
     K2 = jnp.concatenate([Kf, Kf], axis=0)
-    x2, cost2 = _lm_batch(uv2, x0, K2, iters)
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # one-kernel solver: the jnp scan is launch-bound at ~100 ops/LM
+        # iteration; the Pallas kernel runs all iterations on-chip
+        # (rtm3d_tpu/ops/lm_solver.py).
+        from rtm3d_tpu.ops.lm_solver import lm_solve_pallas, pad_to_lanes
+
+        M2 = uv2.shape[0]
+        Mp = pad_to_lanes(M2)
+        pad = Mp - M2
+        uv_k = jnp.concatenate([uv2[..., 0].T, uv2[..., 1].T], axis=0)  # (16, M2)
+        kp_k = jnp.stack(
+            [K2[:, 0, 0], K2[:, 1, 1], K2[:, 0, 2], K2[:, 1, 2]], axis=0
+        )  # (4, M2)
+        x0_k = x0.T  # (8, M2)
+        if pad:
+            uv_k = jnp.pad(uv_k, ((0, 0), (0, pad)))
+            kp_k = jnp.pad(kp_k, ((0, 0), (0, pad)), constant_values=1.0)
+            x0_k = jnp.pad(
+                x0_k, ((0, 0), (0, pad)), constant_values=1.0
+            )  # benign: cos=1, z=1
+        xk, costk = lm_solve_pallas(uv_k, x0_k, kp_k, iters=iters)
+        x2 = xk[:, :M2].T
+        cost2 = costk[0, :M2]
+    else:
+        x2, cost2 = _lm_batch(uv2, x0, K2, iters)
     pick = (cost2[:M] <= cost2[M:])[:, None]
     x = jnp.where(pick, x2[:M], x2[M:])
     cost = jnp.minimum(cost2[:M], cost2[M:])

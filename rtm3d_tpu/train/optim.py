@@ -178,4 +178,9 @@ def build_optimizer(cfg: Config, params, max_iters: int | None = None):
     mult_tree = jax.tree_util.tree_map(lambda gr: mult_by_group[gr], groups)
     schedule = build_lr_schedule(cfg, max_iters)
     tx = adamax_groups(schedule, wd_tree, mult_tree)
+    accum = int(s.get("ACCUMULATE_STEPS", 1) or 1)
+    if accum > 1:
+        # gradient accumulation (the reference's dead solver computed but
+        # never used `subdivisions`, train_multi_gpu.py:67-69 / solver.py:65)
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, schedule

@@ -95,11 +95,20 @@ def make_train_step(model, cfg: Config, tx) -> Callable:
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if new_ema is not None:
+            # decay with exponential ramp (reference ModelEMA, module.py:94)
+            decay = float(cfg.TRAINING.get("EMA_DECAY", 0.9999))
+            d = decay * (1.0 - jnp.exp(-(state.step + 1).astype(jnp.float32) / 2000.0))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + (1.0 - d) * p, new_ema, new_params
+            )
         new_state = state.replace(
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
             step=state.step + 1,
+            ema_params=new_ema,
         )
         metrics = {
             "loss": loss,

@@ -1,0 +1,79 @@
+"""EMA, gradient accumulation, mosaic — the reference's dormant capabilities."""
+
+import jax
+import numpy as np
+import pytest
+
+from rtm3d_tpu.nn.model import init_model
+from rtm3d_tpu.train.optim import build_optimizer
+from rtm3d_tpu.train.state import TrainState
+from rtm3d_tpu.train.step import make_train_step
+
+from tests.test_train_step import small_cfg, synth_batch
+
+
+def test_ema_tracks_params(rng):
+    cfg = small_cfg()
+    cfg.TRAINING.EMA = True
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables, tx, with_ema=True)
+    assert state.ema_params is not None
+    step_fn = make_train_step(model, cfg, tx)
+    batch = synth_batch(rng)
+    for _ in range(3):
+        state, _ = step_fn(state, batch)
+    # EMA differs from both init and live params, and lies between them
+    p0 = jax.tree_util.tree_leaves(variables["params"])[0]
+    pl = jax.tree_util.tree_leaves(state.params)[0]
+    pe = jax.tree_util.tree_leaves(state.ema_params)[0]
+    assert not np.allclose(np.asarray(pe), np.asarray(pl))
+    # early steps: ramped decay keeps EMA close to the live params
+    assert np.abs(np.asarray(pe) - np.asarray(pl)).max() < np.abs(
+        np.asarray(p0) - np.asarray(pl)
+    ).max() + 1e-6
+    # eval_variables picks the EMA shadow
+    ev = state.eval_variables
+    assert ev["params"] is state.ema_params
+
+
+def test_gradient_accumulation_defers_updates(rng):
+    cfg = small_cfg()
+    cfg.SOLVER.ACCUMULATE_STEPS = 2
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(model, cfg, tx)
+    batch = synth_batch(rng)
+    p0 = np.asarray(jax.tree_util.tree_leaves(variables["params"])[0])
+    state, _ = step_fn(state, batch)
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert np.array_equal(p0, p1)  # first micro-step: no update yet
+    state, _ = step_fn(state, batch)
+    p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert not np.array_equal(p1, p2)  # second micro-step applies
+
+
+def test_mosaic_composition(tmp_path, rng):
+    from rtm3d_tpu.config import default_config
+    from rtm3d_tpu.data.kitti import create_dataset
+    from rtm3d_tpu.data.synthetic import generate_kitti
+
+    root = generate_kitti(str(tmp_path / "kitti"), num_train=4, num_test=1, img_hw=(96, 128))
+    cfg = default_config()
+    cfg.INPUT_SIZE = (128, 128)
+    cfg.IS_MOSAIC = True
+    cfg.IS_RECT = False
+    cfg.DATASET.MAX_OBJS = 24
+    ds = create_dataset(root, cfg, is_training=True, split="train")
+    s = ds.__getitem__(0, rng=rng)
+    W, H = ds.img_size
+    assert s["image"].shape == (H, W, 3)
+    m = s["labels"]["mask"]
+    if m.any():
+        b = s["labels"]["bbox"][m]
+        assert np.isfinite(b).all()
+        cx = (b[:, 0] + b[:, 2]) / 2
+        cy = (b[:, 1] + b[:, 3]) / 2
+        assert (cx >= 0).all() and (cx < W).all()
+        assert (cy >= 0).all() and (cy < H).all()
