@@ -26,9 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 def _splat_kernel(cx_ref, cy_ref, cls_ref, sig_ref, rad_ref, flags_ref, out_ref):
     """One grid program per batch element.
 
-    cx/cy/cls/flags: (1, N) int32 in SMEM; sig/rad: (1, N) f32 in SMEM;
-    flags bit0 = mask, bit1 = noise. out: (1, C, H, W) f32 in VMEM.
+    cx/cy/cls/flags: full (B, N) int32 in SMEM (scalar arrays must keep their
+    full shape for TPU lowering); sig/rad: (B, N) f32 in SMEM; flags bit0 =
+    mask, bit1 = noise. out: (1, C, H, W) f32 block in VMEM.
     """
+    bidx = pl.program_id(0)
     _, C, H, W = out_ref.shape
     N = cx_ref.shape[1]
 
@@ -38,15 +40,15 @@ def _splat_kernel(cx_ref, cy_ref, cls_ref, sig_ref, rad_ref, flags_ref, out_ref)
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
 
     def body(n, _):
-        flags = flags_ref[0, n]
+        flags = flags_ref[bidx, n]
 
         @pl.when(flags > 0)
         def _():
-            cx = cx_ref[0, n]
-            cy = cy_ref[0, n]
-            c = cls_ref[0, n]
-            sg = sig_ref[0, n]
-            rad = rad_ref[0, n]
+            cx = cx_ref[bidx, n]
+            cy = cy_ref[bidx, n]
+            c = cls_ref[bidx, n]
+            sg = sig_ref[bidx, n]
+            rad = rad_ref[bidx, n]
             noise = flags > 1  # bit1 set
 
             dx = xs - cx
@@ -57,8 +59,11 @@ def _splat_kernel(cx_ref, cy_ref, cls_ref, sig_ref, rad_ref, flags_ref, out_ref)
             g = jnp.where(in_win, g, 0.0)
             at_center = (dx == 0) & (dy == 0)
             g = jnp.where(jnp.logical_and(noise, at_center), 0.9999, g)
-            cur = out_ref[0, c, :, :]
-            out_ref[0, c, :, :] = jnp.maximum(cur, g)
+            # static unroll over class channels (dynamic middle-dim writes
+            # lower poorly in Mosaic)
+            for ci in range(C):
+                gc = jnp.where(c == ci, g, 0.0)
+                out_ref[0, ci, :, :] = jnp.maximum(out_ref[0, ci, :, :], gc)
 
         return ()
 
@@ -89,14 +94,7 @@ def splat_heatmap_pallas(
     out = pl.pallas_call(
         _splat_kernel,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, N), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N), lambda b: (b, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
         out_specs=pl.BlockSpec(
             (1, num_classes, H, W), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
         ),
