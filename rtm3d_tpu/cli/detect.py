@@ -98,7 +98,24 @@ def main(argv=None):
         t_total += time.perf_counter() - t0
         for bi in range(imgs.shape[0]):
             name = os.path.splitext(os.path.basename(batch["path"][bi]))[0]
-            lines = detections_to_lines(det, names, bi)
+            # map 2D boxes from the resized+padded frame back to the original
+            # image frame (KITTI results are scored in original pixels; the
+            # 3D quantities already live in the true camera frame because K
+            # was transformed alongside the image)
+            w0, h0 = (int(v) for v in batch["shape"][bi])
+            r = ds.resize_max_side / max(w0, h0) if max(w0, h0) else 1.0
+            nw, nh = int(w0 * r), int(h0 * r)
+            pad_w = (ds.img_size[0] - nw) // 2
+            pad_h = (ds.img_size[1] - nh) // 2
+            b2 = det["bbox2d"][bi].copy()
+            b2[:, 0::2] = (b2[:, 0::2] - pad_w) / r
+            b2[:, 1::2] = (b2[:, 1::2] - pad_h) / r
+            b2[:, 0::2] = b2[:, 0::2].clip(0, w0 - 1)
+            b2[:, 1::2] = b2[:, 1::2].clip(0, h0 - 1)
+            det_i = dict(det)
+            det_i["bbox2d"] = det["bbox2d"].copy()
+            det_i["bbox2d"][bi] = b2
+            lines = detections_to_lines(det_i, names, bi)
             write_results(args.out_dir, name, lines)
             if args.save_vis:
                 _save_vis(args, cfg, batch, det, bi, name)

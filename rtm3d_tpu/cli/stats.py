@@ -1,0 +1,74 @@
+"""Dataset statistics tools.
+
+The reference ships these as standalone scripts whose outputs became config
+constants: tests/calc_area_of_bbox.py (-> BBOX_AREA_MAX/MIN, detault.py:27-28)
+and tests/calc_vertex_offset_fr_center.py (-> VERTEX_OFFSET_INFER,
+detault.py:31). Unified here as one CLI over any KITTI tree.
+
+Usage:
+  python -m rtm3d_tpu.cli.stats --model-config CFG [--data-path P] [--split train]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from rtm3d_tpu.config import load_config
+from rtm3d_tpu.data.kitti import create_dataset
+from rtm3d_tpu.geometry.box_ops import bbox_area, bbox_center
+from rtm3d_tpu.geometry.projection import proj2d_bbox3d
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("rtm3d_tpu stats")
+    p.add_argument("--model-config", type=str, required=True)
+    p.add_argument("--data-path", type=str, default=None)
+    p.add_argument("--split", type=str, default="train")
+    p.add_argument("--set", nargs="*", default=[])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = load_config(args.model_config, args.set)
+    if args.data_path:
+        cfg.DATASET.PATH = args.data_path
+    ds = create_dataset(cfg.DATASET.PATH, cfg, is_training=False, split=args.split)
+    W, H = ds.img_size
+
+    areas, voffs = [], []
+    for i in range(len(ds)):
+        s = ds[i]
+        lab = s["labels"]
+        m = lab["mask"]
+        if not m.any():
+            continue
+        bbox = lab["bbox"][m]
+        # normalized area (calc_area_of_bbox.py semantics)
+        areas.append(bbox_area(bbox / np.array([W, H, W, H])))
+        # vertex offsets from center, normalized (calc_vertex_offset_fr_center.py)
+        K = lab["K"][m].reshape(-1, 3, 3)
+        uv, _, m3 = proj2d_bbox3d(lab["dim"][m], lab["loc"][m], lab["ry"][m], K)
+        verts = np.transpose(np.asarray(uv), (0, 2, 1))[:, :8]
+        centers = bbox_center(bbox)
+        off = np.abs(verts - centers[:, None, :]) / np.array([W, H])
+        voffs.append(off[np.asarray(m3)])
+
+    areas = np.concatenate(areas) if areas else np.zeros(1)
+    voffs = np.concatenate(voffs).reshape(-1, 2) if voffs else np.zeros((1, 2))
+    out = {
+        "BBOX_AREA_MAX": float(areas.max()),
+        "BBOX_AREA_MIN": float(areas.min()),
+        "VERTEX_OFFSET_INFER": [float(voffs[:, 0].max()), float(voffs[:, 1].max())],
+        "num_images": len(ds),
+        "num_objects": int(sum(len(a) for a in [areas])),
+    }
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,9 @@ class KITTIDataset:
         self._labels, self._K, self._shapes = self._load_annotations()
         assert len(self._image_files) == len(self._labels) == len(self._K)
 
+        # the Resize transform scales the max side to this value; kept for
+        # mapping detections back to original-image pixels
+        self.resize_max_side = int(cfg.INPUT_SIZE[0])
         self.img_size = [int(cfg.INPUT_SIZE[0])] * 2  # (W, H)
         if cfg.IS_RECT:
             # rectangular-input sizing (dataset_reader.py:55-61)

@@ -47,6 +47,31 @@ def draw_bbox3d(img, dim, loc, ry, K, color=(0, 255, 255), bottom_center=False):
     return draw_bbox3d_from_vertices(img, uv, color)
 
 
+def draw_birdview(boxes, img_size=400, max_range=50.0, gts=None):
+    """Bird's-eye-view canvas with rotated box footprints
+    (reference: visual_utils.py:165-197). boxes: iterable of
+    (x, z, w, l, ry) tuples in camera coords; gts drawn in a second colour.
+    Returns a BGR image: camera at bottom-center, z up."""
+    img = np.full((img_size, img_size, 3), 30, np.uint8)
+
+    def to_px(x, z):
+        px = int(img_size / 2 + x / max_range * img_size / 2)
+        py = int(img_size - z / max_range * img_size)
+        return px, py
+
+    for group, color in ((gts or [], (90, 90, 90)), (boxes, (0, 255, 255))):
+        for x, z, w, l, ry in group:
+            c, s = np.cos(ry), np.sin(ry)
+            dx = np.array([l / 2, l / 2, -l / 2, -l / 2])
+            dz = np.array([w / 2, -w / 2, -w / 2, w / 2])
+            rx = c * dx + s * dz
+            rz = -s * dx + c * dz
+            pts = np.array([to_px(x + a, z + b) for a, b in zip(rx, rz)], np.int32)
+            cv2.polylines(img, [pts], True, color, 1)
+    cv2.circle(img, to_px(0, 0), 3, (255, 255, 255), -1)
+    return img
+
+
 def draw_keypoints(img, points, color=(0, 0, 255)):
     for p in np.asarray(points).astype(int):
         cv2.circle(img, tuple(p), 2, color, -1)
