@@ -133,9 +133,13 @@ def _save_vis(args, cfg, batch, det, bi, name):
         draw_keypoints,
     )
 
-    img = denormalize(
-        batch["image"][bi], np.array(cfg.DATASET.MEAN), np.array(cfg.DATASET.STD)
-    ).copy()
+    raw = batch["image"][bi]
+    if raw.dtype == np.uint8:
+        img = raw.copy()
+    else:
+        img = denormalize(
+            raw, np.array(cfg.DATASET.MEAN), np.array(cfg.DATASET.STD)
+        ).copy()
     acc = det["accepted"][bi]
     if acc.any():
         draw_bbox2d(img, det["bbox2d"][bi][acc], det["cls"][bi][acc], det["scores"][bi][acc], list(cfg.DATASET.OBJs))

@@ -50,6 +50,12 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--test-interval", type=int, default=1)
     p.add_argument("--seed", type=int, default=20)
+    p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="call jax.distributed.initialize() (multi-host SPMD; replaces "
+        "the reference's NCCL rendezvous, train_multi_gpu.py:65-66)",
+    )
     p.add_argument("--set", nargs="*", default=[], help="dotted config overrides")
     return p.parse_args(argv)
 
@@ -81,6 +87,8 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = parse_args(argv)
+    if args.multihost:
+        jax.distributed.initialize()
     cfg = setup(args)
 
     train_ds = create_dataset(cfg.DATASET.PATH, cfg, is_training=True, split="train")

@@ -189,6 +189,7 @@ def default_config() -> Config:
         MESH_SHAPE=(-1,),         # -1: all available devices on that axis
         COMPUTE_DTYPE="float32",  # 'bfloat16' for MXU-friendly training
         PARAM_DTYPE="float32",
+        NORMALIZE_ON_DEVICE=True,  # loader ships uint8; step normalises on TPU
         REMAT=False,              # jax.checkpoint the backbone to save HBM
         DONATE=True,              # donate train-state buffers across steps
     )

@@ -97,6 +97,12 @@ class KITTIDataset:
         # the Resize transform scales the max side to this value; kept for
         # mapping detections back to original-image pixels
         self.resize_max_side = int(cfg.INPUT_SIZE[0])
+        # ship raw uint8 to the device and normalise inside the jitted step
+        # (4x less H2D traffic); the classic host-side float path remains
+        # available via TPU.NORMALIZE_ON_DEVICE: false
+        self.normalize_on_device = bool(
+            cfg.get("TPU", {}).get("NORMALIZE_ON_DEVICE", True)
+        )
         self.img_size = [int(cfg.INPUT_SIZE[0])] * 2  # (W, H)
         if cfg.IS_RECT:
             # rectangular-input sizing (dataset_reader.py:55-61)
@@ -293,15 +299,19 @@ class KITTIDataset:
             if self._augment is not None:
                 img, labels = self._augment(img, labels, rng=rng)
             img, labels = self._apply_padding(img, labels)
-        img = (img.astype(np.float32) / 255.0 - self._norm["mean_rgb"]) / self._norm[
-            "std_rgb"
-        ]
+        if self.normalize_on_device:
+            img = img.astype(np.uint8)  # raw bytes; the jitted step normalises
+        else:
+            img = (
+                img.astype(np.float32) / 255.0 - self._norm["mean_rgb"]
+            ) / self._norm["std_rgb"]
+            img = img.astype(np.float32)
         labels = self._pad_objs(labels)
         path = os.path.join(
             self._root, "training", "image_2", f"{self._image_files[index]}.png"
         )
         return {
-            "image": img.astype(np.float32),
+            "image": img,
             "labels": labels,
             "path": path,
             "shape": self._shapes[index],

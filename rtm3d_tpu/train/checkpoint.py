@@ -99,6 +99,41 @@ class CheckPointer:
         return payload["state"], meta
 
 
+def strip_checkpoint(src: str, dst: str, dtype: str = "bfloat16"):
+    """Create a deploy checkpoint: params + batch_stats only, optionally
+    downcast — the analog of the reference's optimizer-stripping + FP16
+    pretrained-ckpt creation (utils/utils.py:89-110, which uses torch half).
+    """
+    import numpy as np
+
+    with open(src, "rb") as f:
+        raw = f.read()
+    payload = serialization.msgpack_restore(raw)
+    state = payload.get("state", payload)
+    keep = {
+        "params": state.get("params", {}),
+        "batch_stats": state.get("batch_stats", {}),
+    }
+    if state.get("ema_params") is not None:
+        # prefer the EMA shadow like the reference's CheckPointer.save
+        # (check_point.py:122)
+        keep["params"] = state["ema_params"]
+    if dtype:
+        import jax.numpy as jnp
+
+        target = jnp.dtype(dtype)
+
+        def conv(x):
+            if hasattr(x, "dtype") and x.dtype == np.float32:
+                return np.asarray(jnp.asarray(x).astype(target))
+            return x
+
+        keep = jax.tree_util.tree_map(conv, keep)
+    with open(dst, "wb") as f:
+        f.write(serialization.msgpack_serialize(keep))
+    return dst
+
+
 # ---------------------------------------------------------------------------
 # Torch state_dict import
 # ---------------------------------------------------------------------------

@@ -51,7 +51,12 @@ def test_dataset_shapes_and_cache(kitti_root):
     s = ds[0]
     W, H = ds.img_size
     assert s["image"].shape == (H, W, 3)
-    assert s["image"].dtype == np.float32
+    assert s["image"].dtype == np.uint8  # raw bytes; jitted step normalises
+    # host-side float path still available
+    cfg2 = small_cfg()
+    cfg2.TPU.NORMALIZE_ON_DEVICE = False
+    ds_f = create_dataset(kitti_root, cfg2, is_training=False, split="train")
+    assert ds_f[0]["image"].dtype == np.float32
     assert s["labels"]["cls"].shape == (12,)
     assert s["labels"]["bbox"].shape == (12, 4)
     assert s["labels"]["K"].shape == (12, 9)
