@@ -156,7 +156,7 @@ def _to_dotted(flax_path: Tuple[str, ...]) -> str:
     parts = list(flax_path)
     out = []
     i = 0
-    branch = parts[0] if parts and parts[0] in _HEAD_BRANCHES else None
+    branch = next((p for p in parts if p in _HEAD_BRANCHES), None)
     while i < len(parts):
         p = parts[i]
         nxt = parts[i + 1] if i + 1 < len(parts) else ""
@@ -196,7 +196,7 @@ def _to_dotted(flax_path: Tuple[str, ...]) -> str:
             out.append("base_layer.0")
         elif p == "base_norm":
             out.append("base_layer.1")
-        elif p in _HEAD_BRANCHES and i == 0:
+        elif p in _HEAD_BRANCHES and nxt in ("convs", "head"):
             out.append(f"{p}_header")
         elif p == "convs":
             pass  # HeadBranch ConvLevel wrapper: the Sequential is flat in torch
