@@ -77,3 +77,26 @@ def test_mosaic_composition(tmp_path, rng):
         cy = (b[:, 1] + b[:, 3]) / 2
         assert (cx >= 0).all() and (cx < W).all()
         assert (cy >= 0).all() and (cy < H).all()
+
+
+def test_remat_train_step_matches_loss(rng):
+    """cfg.TPU.REMAT wraps the forward in jax.checkpoint; losses must match."""
+    cfg = small_cfg()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, variables["params"])
+    batch = synth_batch(rng)
+
+    cfg_r = small_cfg()
+    cfg_r.TPU.REMAT = True
+
+    s1 = TrainState.create(variables, tx)
+    s2 = TrainState.create(variables, tx)
+    f1 = make_train_step(model, cfg, tx)
+    f2 = make_train_step(model, cfg_r, tx)
+    s1, m1 = f1(s1, batch)
+    s2, m2 = f2(s2, batch)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    import jax as _jax
+
+    for a, b in zip(_jax.tree_util.tree_leaves(s1.params), _jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
