@@ -197,7 +197,9 @@ def evaluate_ap(
                         best, best_i = ov, i
                 if best_i >= 0:
                     matched.add(best_i)
-                    if g_all[best_i] in g_valid:
+                    # identity check: dicts hold numpy arrays, `in` would
+                    # trigger ambiguous array equality
+                    if any(g_all[best_i] is v for v in g_valid):
                         tp += 1
                     # matches to harder-difficulty gt are ignored (not FP)
                 else:

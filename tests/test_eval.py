@@ -100,3 +100,15 @@ def test_parse_and_write_roundtrip():
     assert parsed["score"] == pytest.approx(0.9, abs=1e-3)
     assert parsed["loc"][2] == pytest.approx(20.0, abs=0.01)
     assert parsed["alpha"] == pytest.approx(alpha_from_ry(0.3, 2.0, 20.0), abs=0.01)
+
+
+def test_ap_multiple_gt_no_ambiguous_compare():
+    """Regression: dict-in-list membership on numpy-holding dicts raised
+    ValueError (ambiguous array truth) once an image had several gts."""
+    gts = [[_obj(), _obj(loc=(5, 1.5, 12), bbox=(150, 0, 260, 55)),
+            _obj(loc=(-4, 1.5, 30), bbox=(300, 10, 330, 32), occ=2)]]
+    dets = [[_obj(score=0.9), _obj(loc=(5, 1.5, 12), bbox=(150, 0, 260, 55), score=0.8)]]
+    ap_easy = evaluate_ap(gts, dets, "Car", "3d", "easy")
+    assert 0.0 <= ap_easy <= 1.0
+    ap_hard = evaluate_ap(gts, dets, "Car", "3d", "hard")
+    assert 0.0 <= ap_hard <= 1.0
