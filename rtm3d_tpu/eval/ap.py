@@ -224,7 +224,7 @@ def evaluate_ap(
     for r in np.linspace(0.025, 1.0, 40):
         mask = recalls >= r
         ap += (precs[mask].max() if mask.any() else 0.0) / 40.0
-    return float(ap)
+    return float(min(ap, 1.0))
 
 
 def evaluate_directories(gt_dir: str, det_dir: str, image_names: Sequence[str], **kw):
