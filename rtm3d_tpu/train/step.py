@@ -58,18 +58,35 @@ def _loss_from_batch(model, cfg: Config, params, batch_stats, batch, train: bool
         bbox_area_min=cfg.DATASET.BBOX_AREA_MIN,
     )
 
+    compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
+
+    def _cast(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+        )
+
     def fwd(p):
+        # Mixed precision: master params stay fp32 in the optimizer; the
+        # forward (and backward) run in COMPUTE_DTYPE. The cast is linear, so
+        # grads flow back to the fp32 masters; batch stats are re-promoted.
+        bs = batch_stats
+        if compute_dtype != jnp.float32:
+            p = _cast(p, compute_dtype)
+            bs = _cast(bs, compute_dtype)
         if train:
             logits, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats},
+                {"params": p, "batch_stats": bs},
                 imgs,
                 train=True,
                 mutable=["batch_stats"],
             )
-            return logits, mut["batch_stats"]
-        logits = model.apply(
-            {"params": p, "batch_stats": batch_stats}, imgs, train=False
-        )
+            new_stats = mut["batch_stats"]
+            if compute_dtype != jnp.float32:
+                new_stats = jax.tree_util.tree_map(
+                    lambda new, old: new.astype(old.dtype), new_stats, batch_stats
+                )
+            return logits, new_stats
+        logits = model.apply({"params": p, "batch_stats": bs}, imgs, train=False)
         return logits, batch_stats
 
     if train and cfg.TPU.REMAT:

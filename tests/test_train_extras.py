@@ -100,3 +100,34 @@ def test_remat_train_step_matches_loss(rng):
 
     for a, b in zip(_jax.tree_util.tree_leaves(s1.params), _jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_bf16_mixed_precision_training(rng):
+    """COMPUTE_DTYPE=bfloat16: masters stay fp32, loss close to fp32 run."""
+    import jax.numpy as jnp
+
+    cfg = small_cfg()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, variables["params"])
+    batch = synth_batch(rng)
+
+    cfg_b = small_cfg()
+    cfg_b.TPU.COMPUTE_DTYPE = "bfloat16"
+
+    s32 = TrainState.create(variables, tx)
+    sb = TrainState.create(variables, tx)
+    f32 = make_train_step(model, cfg, tx)
+    fb = make_train_step(model, cfg_b, tx)
+    s32, m32 = f32(s32, batch)
+    sb, mb = fb(sb, batch)
+    l32, lb = float(m32["loss"]), float(mb["loss"])
+    assert np.isfinite(lb)
+    assert abs(lb - l32) / max(abs(l32), 1e-6) < 0.1  # bf16-close
+    # master params remain fp32 after the update
+    import jax as _jax
+
+    assert all(
+        p.dtype == jnp.float32
+        for p in _jax.tree_util.tree_leaves(sb.params)
+        if hasattr(p, "dtype") and p.dtype in (jnp.float32, jnp.bfloat16)
+    )
