@@ -93,8 +93,11 @@ def main(argv=None):
 
     train_ds = create_dataset(cfg.DATASET.PATH, cfg, is_training=True, split="train")
     test_ds = create_dataset(cfg.DATASET.PATH, cfg, is_training=False, split="test")
-    # dataset-derived rect size feeds the jitted programs (dataset_reader.py:55-61)
+    # dataset-derived rect size feeds the jitted programs (dataset_reader.py:55-61);
+    # the test split must share the train resolution (its own rect estimate may
+    # differ), else the eval jit sees a different static shape
     cfg.INPUT_SIZE = tuple(train_ds.img_size)
+    test_ds.img_size = list(train_ds.img_size)
 
     mesh = create_mesh_for_batch(cfg, cfg.BATCH_SIZE)
     if is_master():
