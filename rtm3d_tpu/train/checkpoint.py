@@ -42,9 +42,14 @@ class CheckPointer:
     one-file-per-save layout, check_point.py:130-134.)
     """
 
-    def __init__(self, save_dir: str, use_orbax: bool = False):
+    def __init__(self, save_dir: str, use_orbax: bool = False, max_to_keep: int = 5):
+        """max_to_keep bounds the rolling ``model_*`` files (oldest deleted;
+        ``model_best`` is never removed). The reference saves every epoch
+        unboundedly (train.py:158-162) — at ~400 MB per full train state that
+        exhausts a disk in a few hundred epochs."""
         self.save_dir = save_dir
         self.use_orbax = use_orbax and ocp is not None
+        self.max_to_keep = max_to_keep
         os.makedirs(save_dir, exist_ok=True)
 
     # -- pointer file (check_point.py:156-175) --
@@ -77,7 +82,23 @@ class CheckPointer:
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(payload))
         self.tag_last_checkpoint(path)
+        self._enforce_retention(keep=os.path.basename(path))
         return path
+
+    def _enforce_retention(self, keep: str):
+        if not self.max_to_keep or self.max_to_keep <= 0:
+            return
+        rolling = sorted(
+            f
+            for f in os.listdir(self.save_dir)
+            if f.startswith("model_") and f.endswith(".msgpack") and f != "model_best.msgpack"
+        )
+        for f in rolling[: max(0, len(rolling) - self.max_to_keep)]:
+            if f != keep:
+                try:
+                    os.remove(os.path.join(self.save_dir, f))
+                except OSError:
+                    pass
 
     def load(self, state_template, path: Optional[str] = None, use_latest: bool = True):
         """Returns (state, meta) with meta = {'epoch', 'min_loss'}. If no file

@@ -163,3 +163,22 @@ def test_import_torch_resnet18_forward_parity(rng):
         b = tf.numpy()
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-3)
+
+
+def test_checkpoint_retention(tmp_path):
+    cfg = small_cfg()
+    _, variables = init_model(cfg, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables, tx)
+    cp = CheckPointer(str(tmp_path), max_to_keep=3)
+    for e in range(6):
+        cp.save(f"model_{e:07d}", state, epoch=e)
+    cp.save("model_best", state, epoch=5)
+    files = sorted(f for f in os.listdir(tmp_path) if f.endswith(".msgpack"))
+    rolling = [f for f in files if f != "model_best.msgpack"]
+    assert len(rolling) == 3
+    assert rolling == ["model_0000003.msgpack", "model_0000004.msgpack", "model_0000005.msgpack"]
+    assert "model_best.msgpack" in files
+    # pointer still resolves
+    loaded, meta = cp.load(state, use_latest=True)
+    assert meta["epoch"] == 5
