@@ -181,6 +181,11 @@ def default_config() -> Config:
         REF_LOC=[0.0, -0.5, 20.0],  # detect.py:74 initial location guess
         SOLVER_ITERS=40,            # LM iterations for 3D recovery
         RESIDUAL_THRESH=0.1,        # accept solutions with residual < 0.1
+        # dimension-prior term weight in the 3D objective. The reference's
+        # aimFun omits it, leaving an exact scale gauge (depth drifts to the
+        # init); the RTM3D paper's energy includes the prior. 0 = exact
+        # reference behaviour.
+        DIM_PRIOR_WEIGHT=20.0,
     )
 
     # --- TPU-native section (no reference counterpart) ---

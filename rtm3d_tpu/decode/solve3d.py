@@ -104,12 +104,29 @@ def _gauss_jordan_solve(A, b):
     return b
 
 
-def _lm_batch(uv, x0, K, iters: int, lam0: float = 1e-3):
-    """Vectorised LM over (M,) detections. Returns (x (M, 8), cost (M,))."""
+def _lm_batch(uv, x0, K, iters: int, lam0: float = 1e-3, prior_weight: float = 0.0):
+    """Vectorised LM over (M,) detections. Returns (x (M, 8), reproj_cost (M,)).
 
-    def cost_of(x):
+    ``prior_weight`` adds sqrt(w)*(dim - dim0) residuals anchoring the
+    dimensions to the per-class prior (dim0 = x0[2:5]). The reference's
+    objective omits this term (aimFun, model_utils.py:155-177), leaving an
+    exact scale gauge — dims/location can drift jointly along the view rays
+    with zero reprojection error. The RTM3D paper's energy includes the
+    prior; weight 0 restores exact reference behaviour. Acceptance cost is
+    always reprojection-only (model_utils.py:298 semantics).
+    """
+    dim0 = x0[:, 2:5]
+    sw = jnp.sqrt(prior_weight) if prior_weight > 0 else 0.0
+
+    def reproj_cost(x):
         r, _ = _residuals_batch(x, K, uv)
         return jnp.sum(r * r, axis=-1)
+
+    def cost_of(x):
+        c = reproj_cost(x)
+        if prior_weight > 0:
+            c = c + prior_weight * jnp.sum((x[:, 2:5] - dim0) ** 2, axis=-1)
+        return c
 
     M = x0.shape[0]
 
@@ -117,6 +134,13 @@ def _lm_batch(uv, x0, K, iters: int, lam0: float = 1e-3):
         x, lam, cost = carry
         r, aux = _residuals_batch(x, K, uv)
         J = _jacobian_batch(aux)  # (M, 16, 8)
+        if prior_weight > 0:
+            # 3 extra rows: d/dx of sqrt(w)*(x[2:5]-dim0) — constant selectors
+            rp = sw * (x[:, 2:5] - dim0)  # (M, 3)
+            Jp = jnp.zeros((M, 3, 8), r.dtype)
+            Jp = Jp.at[:, 0, 2].set(sw).at[:, 1, 3].set(sw).at[:, 2, 4].set(sw)
+            r = jnp.concatenate([r, rp], axis=1)
+            J = jnp.concatenate([J, Jp], axis=1)
         JtJ = jnp.einsum("mij,mik->mjk", J, J)
         g = jnp.einsum("mij,mi->mj", J, r)
         diag = jnp.diagonal(JtJ, axis1=-2, axis2=-1)  # (M, 8)
@@ -133,11 +157,11 @@ def _lm_batch(uv, x0, K, iters: int, lam0: float = 1e-3):
         return (x, lam, cost2), None
 
     lam = jnp.full((M,), lam0, jnp.float32)
-    (x, _, cost), _ = jax.lax.scan(body, (x0, lam, cost_of(x0)), None, length=iters)
-    return x, cost
+    (x, _, _), _ = jax.lax.scan(body, (x0, lam, cost_of(x0)), None, length=iters)
+    return x, reproj_cost(x)
 
 
-@partial(jax.jit, static_argnames=("iters", "use_pallas"))
+@partial(jax.jit, static_argnames=("iters", "use_pallas", "prior_weight"))
 def solve_bbox3d(
     v_proj: jnp.ndarray,
     cls: jnp.ndarray,
@@ -146,6 +170,7 @@ def solve_bbox3d(
     ref_loc: jnp.ndarray,
     iters: int = 40,
     use_pallas: str | bool = "auto",
+    prior_weight: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     """Recover 3D boxes for a fixed block of detections.
 
@@ -208,11 +233,11 @@ def solve_bbox3d(
             x0_k = jnp.pad(
                 x0_k, ((0, 0), (0, pad)), constant_values=1.0
             )  # benign: cos=1, z=1
-        xk, costk = lm_solve_pallas(uv_k, x0_k, kp_k, iters=iters)
+        xk, costk = lm_solve_pallas(uv_k, x0_k, kp_k, iters=iters, prior_weight=prior_weight)
         x2 = xk[:, :M2].T
         cost2 = costk[0, :M2]
     else:
-        x2, cost2 = _lm_batch(uv2, x0, K2, iters)
+        x2, cost2 = _lm_batch(uv2, x0, K2, iters, prior_weight=prior_weight)
     pick = (cost2[:M] <= cost2[M:])[:, None]
     x = jnp.where(pick, x2[:M], x2[M:])
     cost = jnp.minimum(cost2[:M], cost2[M:])

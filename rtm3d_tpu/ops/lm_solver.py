@@ -32,7 +32,7 @@ from rtm3d_tpu.decode.solve3d import COR, _Z_GUARD
 LANE = 128
 
 
-def _lm_kernel(uv_ref, x0_ref, kp_ref, x_out_ref, cost_out_ref, *, iters: int, lam0: float):
+def _lm_kernel(uv_ref, x0_ref, kp_ref, x_out_ref, cost_out_ref, *, iters: int, lam0: float, prior_weight: float):
     uv = uv_ref[...]  # (16, M)
     kp = kp_ref[...]  # (4, M)
     M = uv.shape[1]
@@ -64,6 +64,15 @@ def _lm_kernel(uv_ref, x0_ref, kp_ref, x_out_ref, cost_out_ref, *, iters: int, l
         cost = jnp.sum(ru * ru + rv * rv, axis=0, keepdims=True)  # (1, M)
         return ru, rv, cost
 
+    x0_full = x0_ref[...]
+    dim0 = x0_full[2:5]  # (3, M) per-class prior == init dims
+
+    def total_cost(x):
+        _, _, c = residual_cost(x)
+        if prior_weight > 0:
+            c = c + prior_weight * jnp.sum((x[2:5] - dim0) ** 2, axis=0, keepdims=True)
+        return c
+
     def body(_, carry):
         x, lam, cost = carry
         s, c, l, h, w, xc, yc, z = geometry(x)
@@ -88,6 +97,12 @@ def _lm_kernel(uv_ref, x0_ref, kp_ref, x_out_ref, cost_out_ref, *, iters: int, l
                 v = jnp.sum(Ju[p] * Ju[q] + Jv[p] * Jv[q], axis=0, keepdims=True)
                 A[p][q] = v
                 A[q][p] = v
+        if prior_weight > 0:
+            # dimension-prior term: selector Jacobian rows add w on the
+            # (l, h, w) diagonal and w*(dim - dim0) to the gradient
+            for p in (2, 3, 4):
+                A[p][p] = A[p][p] + prior_weight
+                g[p] = g[p] + prior_weight * (x[p : p + 1] - dim0[p - 2 : p - 1])
         for p in range(8):
             A[p][p] = A[p][p] * (1.0 + lam) + 1e-9
 
@@ -110,7 +125,7 @@ def _lm_kernel(uv_ref, x0_ref, kp_ref, x_out_ref, cost_out_ref, *, iters: int, l
         step = jnp.concatenate(bvec, axis=0)  # (8, M)
 
         x_new = x - step
-        _, _, cost_new = residual_cost(x_new)
+        cost_new = total_cost(x_new)
         better = cost_new < cost  # (1, M)
         x = jnp.where(better, x_new, x)
         cost2 = jnp.where(better, cost_new, cost)
@@ -119,20 +134,21 @@ def _lm_kernel(uv_ref, x0_ref, kp_ref, x_out_ref, cost_out_ref, *, iters: int, l
         )
         return (x, lam, cost2)
 
-    x0 = x0_ref[...]
-    _, _, cost0 = residual_cost(x0)
+    x0 = x0_full
+    cost0 = total_cost(x0)
     lam = jnp.full((1, M), lam0, jnp.float32)
-    x, _, cost = jax.lax.fori_loop(0, iters, body, (x0, lam, cost0))
+    x, _, _ = jax.lax.fori_loop(0, iters, body, (x0, lam, cost0))
     x_out_ref[...] = x
-    cost_out_ref[...] = cost
+    _, _, reproj = residual_cost(x)
+    cost_out_ref[...] = reproj  # acceptance stays reprojection-only
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
-def lm_solve_pallas(uv, x0, Kp, iters: int = 40, lam0: float = 1e-3, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("iters", "interpret", "prior_weight"))
+def lm_solve_pallas(uv, x0, Kp, iters: int = 40, lam0: float = 1e-3, interpret: bool = False, prior_weight: float = 0.0):
     """uv: (16, M); x0: (8, M); Kp: (4, M). M padded to a lane multiple by
     the caller. Returns (x (8, M), cost (1, M))."""
     M = uv.shape[1]
-    kernel = functools.partial(_lm_kernel, iters=iters, lam0=lam0)
+    kernel = functools.partial(_lm_kernel, iters=iters, lam0=lam0, prior_weight=prior_weight)
     x, cost = pl.pallas_call(
         kernel,
         in_specs=[

@@ -175,6 +175,7 @@ def make_detect_step(model, cfg: Config, with_3d: bool = True) -> Callable:
     topk = int(cfg.DETECTOR.TOPK_CANDIDATES)
     thresh = float(cfg.DETECTOR.SCORE_THRESH)
     iters = int(cfg.DETECTOR.SOLVER_ITERS)
+    prior_w = float(cfg.DETECTOR.get("DIM_PRIOR_WEIGHT", 0.0))
     res_thresh = float(cfg.DETECTOR.RESIDUAL_THRESH)
 
     compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
@@ -200,7 +201,10 @@ def make_detect_step(model, cfg: Config, with_3d: bool = True) -> Callable:
         )
         if with_3d:
             Kb = jnp.broadcast_to(K[:, None, :, :], K.shape[:1] + (topk, 3, 3))
-            sol = solve_bbox3d(det["v_proj"], det["cls"], Kb, dim_ref, ref_loc, iters=iters)
+            sol = solve_bbox3d(
+                det["v_proj"], det["cls"], Kb, dim_ref, ref_loc,
+                iters=iters, prior_weight=prior_w,
+            )
             det.update(sol)
             det["accepted"] = det["valid"] & (sol["cost"] < res_thresh)
         else:

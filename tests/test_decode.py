@@ -162,3 +162,20 @@ def test_lm_matches_scipy_quality(rng):
     n_ok_lm = int((np.asarray(out["cost"]) < 0.1).sum())
     # LM must accept at least as many detections as scipy does
     assert n_ok_lm >= n_ok_scipy
+
+
+def test_dim_prior_anchors_depth(rng):
+    """With the gauge-fixing prior, scaled-away solutions are rejected:
+    recovered depth matches gt (the reference's prior-free objective drifts)."""
+    dim = [1.53, 1.63, 3.88]
+    loc = [1.0, 0.8, 24.0]
+    ry = 0.9
+    uv = _project_gt(dim, loc, ry, KMAT)
+    dim_ref = jnp.asarray([[1.526, 1.629, 3.884]])
+    out = solve_bbox3d(
+        jnp.asarray(uv)[None], jnp.asarray([0]), jnp.asarray(KMAT)[None],
+        dim_ref, jnp.asarray([0.0, -0.5, 20.0]), iters=60, prior_weight=20.0,
+    )
+    assert float(out["cost"][0]) < 0.5
+    assert abs(float(out["loc"][0, 2]) - loc[2]) < 0.8  # depth anchored
+    assert np.allclose(np.asarray(out["dim"][0]), dim, atol=0.1)
