@@ -44,7 +44,8 @@ def main():
     detect = make_detect_step(model, cfg, with_3d=True)
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(BATCH, H, W, 3), jnp.float32)
+    # serving-realistic input: raw uint8 frames, normalised on device
+    images = jnp.asarray((rng.rand(BATCH, H, W, 3) * 255).astype(np.uint8))
     K = jnp.asarray(
         np.tile(
             np.array(
