@@ -72,6 +72,8 @@ class CheckPointer:
 
     # -- save/load --
     def save(self, name: str, state, epoch: int = 0, min_loss: float = float("inf"), **extra):
+        if self.use_orbax:
+            return self._save_orbax(name, state, epoch, min_loss)
         payload = {
             "state": jax.device_get(state),
             "epoch": epoch,
@@ -85,18 +87,49 @@ class CheckPointer:
         self._enforce_retention(keep=os.path.basename(path))
         return path
 
+    def _save_orbax(self, name, state, epoch, min_loss):
+        """Orbax directory checkpoint — multi-host / sharded-state aware
+        (each process writes its shards; msgpack requires replicated state)."""
+        path = os.path.abspath(os.path.join(self.save_dir, name))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path,
+            {"state": state, "meta": {"epoch": epoch, "min_loss": min_loss}},
+            force=True,
+        )
+        ckptr.wait_until_finished()
+        self.tag_last_checkpoint(path)
+        self._enforce_retention(keep=os.path.basename(path))
+        return path
+
+    def _load_orbax(self, state_template, path):
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            {"state": state_template, "meta": {"epoch": 0, "min_loss": float("inf")}},
+        )
+        return restored["state"], dict(restored["meta"])
+
     def _enforce_retention(self, keep: str):
         if not self.max_to_keep or self.max_to_keep <= 0:
             return
         rolling = sorted(
             f
             for f in os.listdir(self.save_dir)
-            if f.startswith("model_") and f.endswith(".msgpack") and f != "model_best.msgpack"
+            if f.startswith("model_")
+            and not f.startswith("model_best")
+            and (f.endswith(".msgpack") or os.path.isdir(os.path.join(self.save_dir, f)))
         )
         for f in rolling[: max(0, len(rolling) - self.max_to_keep)]:
             if f != keep:
                 try:
-                    os.remove(os.path.join(self.save_dir, f))
+                    full = os.path.join(self.save_dir, f)
+                    if os.path.isdir(full):
+                        import shutil
+
+                        shutil.rmtree(full)
+                    else:
+                        os.remove(full)
                 except OSError:
                     pass
 
@@ -108,6 +141,8 @@ class CheckPointer:
             path = self.get_checkpoint_file()
         if not path or not os.path.exists(path):
             return state_template, {}
+        if os.path.isdir(path):  # orbax directory checkpoint
+            return self._load_orbax(state_template, path)
         with open(path, "rb") as f:
             data = f.read()
         template = {

@@ -182,3 +182,21 @@ def test_checkpoint_retention(tmp_path):
     # pointer still resolves
     loaded, meta = cp.load(state, use_latest=True)
     assert meta["epoch"] == 5
+
+
+def test_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    cfg = small_cfg()
+    _, variables = init_model(cfg, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables, tx)
+    cp = CheckPointer(str(tmp_path), use_orbax=True)
+    path = cp.save("model_0000002", state, epoch=2, min_loss=0.5)
+    assert os.path.isdir(path)
+    loaded, meta = cp.load(TrainState.create(variables, tx), use_latest=True)
+    assert int(meta["epoch"]) == 2
+    assert float(meta["min_loss"]) == pytest.approx(0.5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(loaded.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
