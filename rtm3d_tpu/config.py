@@ -122,6 +122,12 @@ def default_config() -> Config:
         GAUSSIAN_SIGMA_MIN=3,
         VERTEX_OFFSET_INFER=[0.75, 0.57],
         GAUSSIAN_GEN_TYPE="dynamic_radius",  # or 'dynamic_sigma'
+        # fused single-resample native C++ preprocessing (True|False).
+        # Measured SLOWER than the sequential cv2 path on this host (74 vs
+        # 43 ms/img at KITTI scale: cv2's fixed-point SIMD beats the scalar
+        # fused loop) — kept as an option for cv2-free deployments; the
+        # TPU-native answer is the device-side matmul warp (TPU.DEVICE_WARP).
+        FAST_PREPROC=False,
         # fixed-shape cap: max objects per image after related-class expansion
         MAX_OBJS=64,
         aug_hsv_h=0.014,

@@ -113,6 +113,22 @@ class KITTIDataset:
             ns_max = np.ceil(ns.max(axis=0) / 32).astype(np.int64) * 32
             self.img_size = [int(ns_max[0]), int(ns_max[1])]
 
+        # fused single-resample native preprocessing (data/fast_preproc.py);
+        # 'auto' uses it whenever the C++ library is built and mosaic is off
+        fast = cfg.DATASET.get("FAST_PREPROC", "auto")
+        self._fast = None
+        if fast in (True, "auto") and not cfg.IS_MOSAIC:
+            from rtm3d_tpu.data import fast_preproc
+
+            if fast_preproc.available() or fast is True:
+                self._fast = fast_preproc.FusedPreproc(
+                    out_size=tuple(self.img_size),
+                    resize_max_side=self.resize_max_side,
+                    mean=cfg.DATASET.MEAN,
+                    std=cfg.DATASET.STD,
+                    train=is_training,
+                )
+
     # ------------------------------------------------------------------
     def _load_annotations(self):
         cache_dir = os.path.join(self._root, "cache")
@@ -293,6 +309,19 @@ class KITTIDataset:
                 images.append(im)
                 labs.append(lab)
             img, labels = self._apply_mosaic(images, labs, rng)
+        elif self._fast is not None:
+            img = self._imread(self._image_files[index])
+            labels = self._raw_labels(index)
+            img, labels = self._fast(img, labels, rng)
+            labels = self._pad_objs(labels)
+            return {
+                "image": img,  # already normalised float32
+                "labels": labels,
+                "path": os.path.join(
+                    self._root, "training", "image_2", f"{self._image_files[index]}.png"
+                ),
+                "shape": self._shapes[index],
+            }
         else:
             img = self._imread(self._image_files[index])
             labels = self._raw_labels(index)

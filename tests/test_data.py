@@ -51,9 +51,19 @@ def test_dataset_shapes_and_cache(kitti_root):
     s = ds[0]
     W, H = ds.img_size
     assert s["image"].shape == (H, W, 3)
-    assert s["image"].dtype == np.uint8  # raw bytes; jitted step normalises
-    # host-side float path still available
+    from rtm3d_tpu.data import native as _native
+
+    if _native.available():
+        # fast fused path emits normalised float32
+        assert s["image"].dtype == np.float32
+    # uint8-to-device path when the fused path is off
+    cfg8 = small_cfg()
+    cfg8.DATASET.FAST_PREPROC = False
+    ds8 = create_dataset(kitti_root, cfg8, is_training=False, split="train")
+    assert ds8[0]["image"].dtype == np.uint8
+    # classic host-side float path
     cfg2 = small_cfg()
+    cfg2.DATASET.FAST_PREPROC = False
     cfg2.TPU.NORMALIZE_ON_DEVICE = False
     ds_f = create_dataset(kitti_root, cfg2, is_training=False, split="train")
     assert ds_f[0]["image"].dtype == np.float32
