@@ -51,16 +51,16 @@ def test_dataset_shapes_and_cache(kitti_root):
     s = ds[0]
     W, H = ds.img_size
     assert s["image"].shape == (H, W, 3)
+    # default: uint8-to-device path (FAST_PREPROC off by default)
+    assert s["image"].dtype == np.uint8
     from rtm3d_tpu.data import native as _native
 
     if _native.available():
-        # fast fused path emits normalised float32
-        assert s["image"].dtype == np.float32
-    # uint8-to-device path when the fused path is off
-    cfg8 = small_cfg()
-    cfg8.DATASET.FAST_PREPROC = False
-    ds8 = create_dataset(kitti_root, cfg8, is_training=False, split="train")
-    assert ds8[0]["image"].dtype == np.uint8
+        # fused native path emits normalised float32
+        cfgf = small_cfg()
+        cfgf.DATASET.FAST_PREPROC = True
+        dsf = create_dataset(kitti_root, cfgf, is_training=False, split="train")
+        assert dsf[0]["image"].dtype == np.float32
     # classic host-side float path
     cfg2 = small_cfg()
     cfg2.DATASET.FAST_PREPROC = False
