@@ -113,9 +113,8 @@ class KITTIDataset:
             ns_max = np.ceil(ns.max(axis=0) / 32).astype(np.int64) * 32
             self.img_size = [int(ns_max[0]), int(ns_max[1])]
 
-        # fused single-resample native preprocessing (data/fast_preproc.py);
-        # 'auto' uses it whenever the C++ library is built and mosaic is off
-        fast = cfg.DATASET.get("FAST_PREPROC", "auto")
+        # fused single-resample native preprocessing (data/fast_preproc.py)
+        fast = cfg.DATASET.get("FAST_PREPROC", False)
         self._fast = None
         if fast in (True, "auto") and not cfg.IS_MOSAIC:
             from rtm3d_tpu.data import fast_preproc
@@ -128,6 +127,16 @@ class KITTIDataset:
                     std=cfg.DATASET.STD,
                     train=is_training,
                 )
+
+        # device-warp 'raw' mode: ship raw uint8 sources + 6 affine scalars;
+        # the jitted step resamples on the MXU (ops/device_warp.py). Removes
+        # host-side resampling entirely. Training path only.
+        self.device_warp = bool(cfg.TPU.get("DEVICE_WARP", False)) and not cfg.IS_MOSAIC
+        if self.device_warp:
+            self._src_hw = (
+                int(self._shapes[:, 1].max()),  # H0max
+                int(self._shapes[:, 0].max()),  # W0max
+            )
 
     # ------------------------------------------------------------------
     def _load_annotations(self):
@@ -164,6 +173,55 @@ class KITTIDataset:
         except OSError:
             pass
         return labels, Ks, shapes
+
+    def _getitem_raw(self, index, rng):
+        """Device-warp mode: raw uint8 source on a fixed canvas + affine
+        params; labels transformed on host with the identical affine."""
+        from rtm3d_tpu.data.fast_preproc import transform_labels_affine
+        from rtm3d_tpu.ops.device_warp import warp_params_for
+
+        img = self._imread(self._image_files[index])
+        labels = self._raw_labels(index)
+        h0, w0 = img.shape[:2]
+
+        if self.is_training:
+            if rng.rand() < 0.5:  # brightness/contrast
+                alpha = 1.0 + rng.uniform(-0.2, 0.2)
+                beta = rng.uniform(-0.2, 0.2)
+                img = np.clip(
+                    img.astype(np.float32) * alpha + beta * 255.0, 0, 255
+                ).astype(np.uint8)
+            if rng.rand() < 0.5:  # gaussian noise
+                var = rng.uniform(10.0, 50.0)
+                img = np.clip(
+                    img.astype(np.float32) + rng.normal(0, var**0.5, img.shape),
+                    0,
+                    255,
+                ).astype(np.uint8)
+            scale = rng.uniform(1.0, 1.2) if rng.rand() < 0.5 else 1.0
+            mirror = bool(rng.rand() < 0.5)
+        else:
+            scale, mirror = 1.0, False
+
+        params, M = warp_params_for(
+            (h0, w0), tuple(self.img_size), self.resize_max_side, scale, mirror
+        )
+        labels = transform_labels_affine(labels, M, mirror, tuple(self.img_size))
+        border = img.reshape(-1, 3).mean(axis=0).astype(np.float32)
+
+        H0, W0 = self._src_hw
+        canvas = np.zeros((H0, W0, 3), np.uint8)
+        canvas[:h0, :w0] = img
+        return {
+            "image": canvas,
+            "warp": np.concatenate([params, [w0, h0]]).astype(np.float32),
+            "border": border,
+            "labels": self._pad_objs(labels),
+            "path": os.path.join(
+                self._root, "training", "image_2", f"{self._image_files[index]}.png"
+            ),
+            "shape": self._shapes[index],
+        }
 
     def _imread(self, name: str) -> np.ndarray:
         path = os.path.join(self._root, "training", "image_2", f"{name}.png")
@@ -309,6 +367,8 @@ class KITTIDataset:
                 images.append(im)
                 labs.append(lab)
             img, labels = self._apply_mosaic(images, labs, rng)
+        elif self.device_warp:
+            return self._getitem_raw(index, rng)
         elif self._fast is not None:
             img = self._imread(self._image_files[index])
             labels = self._raw_labels(index)

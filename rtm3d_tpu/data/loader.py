@@ -18,15 +18,17 @@ import numpy as np
 
 
 def _stack(samples) -> Dict:
-    batch = {
-        "image": np.stack([s["image"] for s in samples], axis=0),
+    batch: Dict = {
         "labels": {
             k: np.stack([s["labels"][k] for s in samples], axis=0)
             for k in samples[0]["labels"]
         },
         "path": [s["path"] for s in samples],
-        "shape": np.stack([s["shape"] for s in samples], axis=0),
     }
+    for key in samples[0]:
+        if key in ("labels", "path"):
+            continue
+        batch[key] = np.stack([s[key] for s in samples], axis=0)
     return batch
 
 

@@ -72,6 +72,12 @@ def shard_batch(mesh: Mesh, batch):
     out["labels"] = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh["labels"]), batch["labels"]
     )
+    # auxiliary per-sample arrays (e.g. 'warp', 'border') shard on batch
+    for key, val in batch.items():
+        if key in ("image", "labels", "path", "shape"):
+            continue
+        if hasattr(val, "shape"):
+            out[key] = jax.device_put(val, sh["labels"])
     return out
 
 

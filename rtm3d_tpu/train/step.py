@@ -44,10 +44,30 @@ def normalize_images(imgs: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     return imgs
 
 
+def prepare_images(batch, cfg: Config) -> jnp.ndarray:
+    """Device-side input stage: either the MXU matmul-warp ('raw' mode ships
+    the original uint8 frame + affine scalars; ops/device_warp.py) or plain
+    uint8 normalisation."""
+    imgs = batch["image"]
+    if "warp" in batch:
+        from rtm3d_tpu.ops.device_warp import device_warp
+
+        w, h = int(cfg.INPUT_SIZE[0]), int(cfg.INPUT_SIZE[1])
+        return device_warp(
+            imgs,
+            batch["warp"],
+            (h, w),
+            cfg.DATASET.MEAN,
+            cfg.DATASET.STD,
+            border=batch.get("border"),
+        )
+    return normalize_images(imgs, cfg)
+
+
 def _loss_from_batch(model, cfg: Config, params, batch_stats, batch, train: bool):
     feat_hw = _feat_hw(cfg)
     num_classes = len(cfg.DATASET.OBJs)
-    imgs = normalize_images(batch["image"], cfg)
+    imgs = prepare_images(batch, cfg)
     targets = build_targets(
         batch["labels"],
         feat_hw,

@@ -1,0 +1,83 @@
+"""Device-warp 'raw' mode end-to-end: dataset -> loader -> train step."""
+
+import jax
+import numpy as np
+import pytest
+
+from rtm3d_tpu.config import default_config
+from rtm3d_tpu.data.kitti import create_dataset
+from rtm3d_tpu.data.loader import DataLoader
+from rtm3d_tpu.data.synthetic import generate_kitti
+from rtm3d_tpu.nn.model import init_model
+from rtm3d_tpu.train.optim import build_optimizer
+from rtm3d_tpu.train.state import TrainState
+from rtm3d_tpu.train.step import make_train_step
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    return generate_kitti(
+        str(tmp_path_factory.mktemp("kitti")), num_train=4, num_test=1, img_hw=(96, 128)
+    )
+
+
+def _cfg():
+    cfg = default_config()
+    cfg.INPUT_SIZE = (128, 128)
+    cfg.MODEL.BACKBONE = "RESNET-18"
+    cfg.MODEL.KFNs = ["layer1", "layer2", "layer3", "layer4"]
+    cfg.DATASET.MAX_OBJS = 8
+    cfg.TPU.DEVICE_WARP = True
+    cfg.TPU.DONATE = False
+    return cfg
+
+
+def test_raw_mode_sample_schema(kitti_root, rng):
+    cfg = _cfg()
+    ds = create_dataset(kitti_root, cfg, is_training=True, split="train")
+    assert ds.device_warp
+    s = ds.__getitem__(0, rng=rng)
+    assert s["image"].dtype == np.uint8
+    assert s["image"].shape == (ds._src_hw[0], ds._src_hw[1], 3)
+    assert s["warp"].shape == (6,)
+    assert s["border"].shape == (3,)
+    # labels are already in the output frame: centers inside the padded image
+    m = s["labels"]["mask"]
+    if m.any():
+        b = s["labels"]["bbox"][m]
+        cx = (b[:, 0] + b[:, 2]) / 2
+        W, H = ds.img_size
+        assert (cx >= 0).all() and (cx < W).all()
+
+
+def test_raw_mode_train_step(kitti_root, rng):
+    cfg = _cfg()
+    ds = create_dataset(kitti_root, cfg, is_training=True, split="train")
+    cfg.INPUT_SIZE = tuple(ds.img_size)
+    dl = DataLoader(ds, 2, shuffle=False, num_shards=1, shard_index=0)
+    batch = next(iter(dl))
+    assert batch["image"].dtype == np.uint8
+    assert batch["warp"].shape == (2, 6)
+
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, cfg, tx)
+    jb = {
+        "image": batch["image"],
+        "labels": batch["labels"],
+        "warp": batch["warp"],
+        "border": batch["border"],
+    }
+    state, m = step(state, jb)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_raw_mode_eval_deterministic(kitti_root, rng):
+    """Eval split: no augmentation draws; identical samples across calls."""
+    cfg = _cfg()
+    ds = create_dataset(kitti_root, cfg, is_training=False, split="train")
+    a = ds.__getitem__(1, rng=np.random.RandomState(1))
+    b = ds.__getitem__(1, rng=np.random.RandomState(2))
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["warp"], b["warp"])
