@@ -185,22 +185,19 @@ class KITTIDataset:
         h0, w0 = img.shape[:2]
 
         if self.is_training:
-            if rng.rand() < 0.5:  # brightness/contrast
-                alpha = 1.0 + rng.uniform(-0.2, 0.2)
-                beta = rng.uniform(-0.2, 0.2)
-                img = np.clip(
-                    img.astype(np.float32) * alpha + beta * 255.0, 0, 255
-                ).astype(np.uint8)
-            if rng.rand() < 0.5:  # gaussian noise
-                var = rng.uniform(10.0, 50.0)
-                img = np.clip(
-                    img.astype(np.float32) + rng.normal(0, var**0.5, img.shape),
-                    0,
-                    255,
-                ).astype(np.uint8)
+            # photometric params only — the augmentation itself runs on
+            # device (train/step.py prepare_images): full-res numpy noise is
+            # the host pipeline's single most expensive op
+            alpha = 1.0 + rng.uniform(-0.2, 0.2) if rng.rand() < 0.5 else 1.0
+            beta = rng.uniform(-0.2, 0.2) if alpha != 1.0 else 0.0
+            std = rng.uniform(10.0, 50.0) ** 0.5 if rng.rand() < 0.5 else 0.0
+            photo = np.array(
+                [alpha, beta, std, rng.randint(0, 2**31 - 1)], np.float32
+            )
             scale = rng.uniform(1.0, 1.2) if rng.rand() < 0.5 else 1.0
             mirror = bool(rng.rand() < 0.5)
         else:
+            photo = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
             scale, mirror = 1.0, False
 
         params, M = warp_params_for(
@@ -216,6 +213,7 @@ class KITTIDataset:
             "image": canvas,
             "warp": np.concatenate([params, [w0, h0]]).astype(np.float32),
             "border": border,
+            "photo": photo,
             "labels": self._pad_objs(labels),
             "path": os.path.join(
                 self._root, "training", "image_2", f"{self._image_files[index]}.png"

@@ -47,11 +47,25 @@ def normalize_images(imgs: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 def prepare_images(batch, cfg: Config) -> jnp.ndarray:
     """Device-side input stage: either the MXU matmul-warp ('raw' mode ships
     the original uint8 frame + affine scalars; ops/device_warp.py) or plain
-    uint8 normalisation."""
+    uint8 normalisation. Photometric augmentation (brightness/contrast +
+    gaussian noise) also runs on device when the loader ships its params —
+    generating full-res noise in numpy costs ~20 ms/img on a weak host."""
     imgs = batch["image"]
     if "warp" in batch:
         from rtm3d_tpu.ops.device_warp import device_warp
 
+        if "photo" in batch:
+            ph = batch["photo"].astype(jnp.float32)  # (B, 4): alpha, beta, std, seed
+            x = imgs.astype(jnp.float32)
+            x = x * ph[:, 0, None, None, None] + ph[:, 1, None, None, None] * 255.0
+            key = jax.random.PRNGKey(0)
+            keys = jax.vmap(lambda s: jax.random.fold_in(key, s.astype(jnp.int32)))(
+                ph[:, 3]
+            )
+            noise = jax.vmap(
+                lambda k, sd: jax.random.normal(k, imgs.shape[1:]) * sd
+            )(keys, ph[:, 2])
+            imgs = jnp.clip(x + noise, 0, 255)
         w, h = int(cfg.INPUT_SIZE[0]), int(cfg.INPUT_SIZE[1])
         return device_warp(
             imgs,

@@ -41,6 +41,7 @@ def test_raw_mode_sample_schema(kitti_root, rng):
     assert s["image"].shape == (ds._src_hw[0], ds._src_hw[1], 3)
     assert s["warp"].shape == (6,)
     assert s["border"].shape == (3,)
+    assert s["photo"].shape == (4,)
     # labels are already in the output frame: centers inside the padded image
     m = s["labels"]["mask"]
     if m.any():
@@ -68,6 +69,7 @@ def test_raw_mode_train_step(kitti_root, rng):
         "labels": batch["labels"],
         "warp": batch["warp"],
         "border": batch["border"],
+        "photo": batch["photo"],
     }
     state, m = step(state, jb)
     assert np.isfinite(float(m["loss"]))
