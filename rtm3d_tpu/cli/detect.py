@@ -93,7 +93,16 @@ def main(argv=None):
         # dataset's calib when an image carries no objects
         Ks = batch["labels"]["K"][:, 0].reshape(-1, 3, 3).astype(np.float32)
         t0 = time.perf_counter()
-        det = detect(variables, imgs, jnp.asarray(Ks))
+        if "warp" in batch:  # device-warp raw mode (TPU.DEVICE_WARP)
+            det = detect(
+                variables,
+                imgs,
+                jnp.asarray(Ks),
+                warp=jnp.asarray(batch["warp"]),
+                border=jnp.asarray(batch["border"]),
+            )
+        else:
+            det = detect(variables, imgs, jnp.asarray(Ks))
         det = jax.device_get(det)
         t_total += time.perf_counter() - t0
         for bi in range(imgs.shape[0]):
@@ -117,7 +126,9 @@ def main(argv=None):
             det_i["bbox2d"][bi] = b2
             lines = detections_to_lines(det_i, names, bi)
             write_results(args.out_dir, name, lines)
-            if args.save_vis:
+            if args.save_vis and "warp" not in batch:
+                # vis draws on the preprocessed frame; in raw/device-warp
+                # mode the host never materialises it
                 _save_vis(args, cfg, batch, det, bi, name)
         n_img += imgs.shape[0]
     print(f"detect: {n_img} images in {t_total:.2f}s ({n_img / max(t_total, 1e-9):.1f} img/s), results -> {args.out_dir}")

@@ -214,8 +214,16 @@ def make_detect_step(model, cfg: Config, with_3d: bool = True) -> Callable:
 
     compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
 
-    def detect_step(variables, images, K):
-        images = normalize_images(images, cfg)
+    def detect_step(variables, images, K, warp=None, border=None):
+        if warp is not None:
+            from rtm3d_tpu.ops.device_warp import device_warp
+
+            w, h = int(cfg.INPUT_SIZE[0]), int(cfg.INPUT_SIZE[1])
+            images = device_warp(
+                images, warp, (h, w), cfg.DATASET.MEAN, cfg.DATASET.STD, border=border
+            )
+        else:
+            images = normalize_images(images, cfg)
         if compute_dtype != jnp.float32:
             # true mixed-precision inference: params cast to the compute dtype
             # so XLA runs the convs on the MXU in bf16 (fp32 flax params would

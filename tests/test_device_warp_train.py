@@ -83,3 +83,27 @@ def test_raw_mode_eval_deterministic(kitti_root, rng):
     b = ds.__getitem__(1, rng=np.random.RandomState(2))
     np.testing.assert_array_equal(a["image"], b["image"])
     np.testing.assert_array_equal(a["warp"], b["warp"])
+
+
+def test_raw_mode_detect_cli(kitti_root, tmp_path):
+    """The detect CLI must warp on device in raw mode (regression: raw
+    canvases previously would have bypassed preprocessing entirely)."""
+    import yaml
+
+    from rtm3d_tpu.cli.detect import main
+
+    cfg = {
+        "INPUT_SIZE": "(128, 128)",
+        "DATASET": {"PATH": kitti_root, "MAX_OBJS": 8},
+        "MODEL": {"BACKBONE": "RESNET-18", "KFNs": ["layer1", "layer2", "layer3", "layer4"]},
+        "DETECTOR": {"TOPK_CANDIDATES": 5, "SCORE_THRESH": 0.9, "SOLVER_ITERS": 5},
+        "TPU": {"DEVICE_WARP": True},
+    }
+    p = str(tmp_path / "cfg.yaml")
+    with open(p, "w") as f:
+        yaml.dump(cfg, f)
+    out = str(tmp_path / "res")
+    main(["--model-config", p, "--split", "test", "--out-dir", out, "--batch-size", "1"])
+    import os
+
+    assert os.listdir(out)
