@@ -160,6 +160,31 @@ def _save_vis(args, cfg, batch, det, bi, name):
             draw_bbox3d(img, det["dim"][bi][i], det["loc"][bi][i], det["ry"][bi][i], K)
     os.makedirs(args.save_vis, exist_ok=True)
     cv2.imwrite(os.path.join(args.save_vis, f"{name}.png"), img)
+    # bird's-eye-view panel (reference visual_utils.py:165-197)
+    from rtm3d_tpu.utils.visual import draw_birdview
+
+    boxes = [
+        (
+            float(det["loc"][bi][i][0]),
+            float(det["loc"][bi][i][2]),
+            float(det["dim"][bi][i][1]),
+            float(det["dim"][bi][i][2]),
+            float(det["ry"][bi][i]),
+        )
+        for i in np.where(acc)[0]
+    ]
+    m = batch["labels"]["mask"][bi]
+    gts = [
+        (float(l[0]), float(l[2]), float(d[1]), float(d[2]), float(r))
+        for l, d, r in zip(
+            batch["labels"]["loc"][bi][m],
+            batch["labels"]["dim"][bi][m],
+            batch["labels"]["ry"][bi][m],
+        )
+    ]
+    cv2.imwrite(
+        os.path.join(args.save_vis, f"{name}_bev.png"), draw_birdview(boxes, gts=gts)
+    )
 
 
 if __name__ == "__main__":
