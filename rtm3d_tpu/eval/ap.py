@@ -154,6 +154,15 @@ def _gt_in_difficulty(gt: Dict, difficulty: str) -> bool:
     )
 
 
+# classes whose gt boxes are "ignored neighbours" when evaluating a class:
+# detections matching them count neither TP nor FP (official devkit rule)
+NEIGHBOR_CLASSES = {
+    "Car": ("Van",),
+    "Pedestrian": ("Person_sitting",),
+    "Cyclist": (),
+}
+
+
 def evaluate_ap(
     gts: List[List[Dict]],
     dets: List[List[Dict]],
@@ -161,8 +170,14 @@ def evaluate_ap(
     metric: str = "3d",
     difficulty: str = "moderate",
 ) -> float:
-    """AP_R40 over a dataset. gts/dets: per image lists of parsed objects."""
+    """AP_R40 over a dataset. gts/dets: per image lists of parsed objects.
+
+    Official-devkit semantics: gt of the class split into valid (difficulty
+    bucket) vs ignored; neighbour-class gt (Van for Car, Person_sitting for
+    Pedestrian) and DontCare regions absorb matching detections without
+    counting as FP."""
     min_ov = MIN_OVERLAP[metric][0 if class_name == "Car" else 1]
+    neighbors = NEIGHBOR_CLASSES.get(class_name, ())
 
     # collect per-image class-filtered gt/det
     all_scores = []
@@ -171,19 +186,22 @@ def evaluate_ap(
     for gt_list, det_list in zip(gts, dets):
         g = [o for o in gt_list if o["type"] == class_name]
         valid = [o for o in g if _gt_in_difficulty(o, difficulty)]
+        ignore_boxes = [
+            o for o in gt_list if o["type"] in neighbors or o["type"] == "DontCare"
+        ]
         d = sorted(
             (o for o in det_list if o["type"] == class_name),
             key=lambda o: -o["score"],
         )
         total_valid_gt += len(valid)
-        per_image.append((g, valid, d))
+        per_image.append((g, valid, ignore_boxes, d))
         all_scores += [o["score"] for o in d]
     if total_valid_gt == 0:
         return 0.0
 
     def pr_at(thresh: float):
         tp = fp = 0
-        for g_all, g_valid, d in per_image:
+        for g_all, g_valid, ignores, d in per_image:
             matched = set()
             for det in d:
                 if det["score"] < thresh:
@@ -203,7 +221,13 @@ def evaluate_ap(
                         tp += 1
                     # matches to harder-difficulty gt are ignored (not FP)
                 else:
-                    fp += 1
+                    # neighbour-class / DontCare absorption (2D overlap, like
+                    # the devkit's image-plane stuff boxes)
+                    absorbed = any(
+                        iou_2d(det["bbox"], ig["bbox"]) >= 0.5 for ig in ignores
+                    )
+                    if not absorbed:
+                        fp += 1
         fn = total_valid_gt - tp
         prec = tp / (tp + fp) if tp + fp > 0 else 0.0
         rec = tp / (tp + fn) if tp + fn > 0 else 0.0

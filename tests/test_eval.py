@@ -112,3 +112,23 @@ def test_ap_multiple_gt_no_ambiguous_compare():
     assert 0.0 <= ap_easy <= 1.0
     ap_hard = evaluate_ap(gts, dets, "Car", "3d", "hard")
     assert 0.0 <= ap_hard <= 1.0
+
+
+def test_neighbor_class_and_dontcare_absorption():
+    """Dets matching Van (for Car) or DontCare regions are neither TP nor FP
+    (official devkit rule)."""
+    van = _obj(cls="Van", bbox=(200, 0, 300, 60), loc=(8, 1.5, 12))
+    dontcare = _obj(cls="DontCare", bbox=(400, 0, 480, 50))
+    gts = [[_obj(), van, dontcare]]
+    # det 2 overlaps the Van, det 3 sits in the DontCare region
+    dets = [[
+        _obj(score=0.9),
+        _obj(bbox=(200, 0, 300, 60), loc=(8, 1.5, 12), score=0.85),
+        _obj(bbox=(405, 2, 475, 48), loc=(30, 1.5, 40), score=0.8),
+    ]]
+    ap = evaluate_ap(gts, dets, "Car", "bbox", "easy")
+    assert ap == pytest.approx(1.0, abs=0.03)  # absorbed dets cost nothing
+    # a genuinely-wrong det still counts as FP
+    dets_fp = [[_obj(score=0.9), _obj(bbox=(600, 0, 700, 60), loc=(30, 1.5, 40), score=0.85)]]
+    ap_fp = evaluate_ap(gts, dets_fp, "Car", "bbox", "easy")
+    assert ap_fp < 1.0
