@@ -128,7 +128,8 @@ def test_neighbor_class_and_dontcare_absorption():
     ]]
     ap = evaluate_ap(gts, dets, "Car", "bbox", "easy")
     assert ap == pytest.approx(1.0, abs=0.03)  # absorbed dets cost nothing
-    # a genuinely-wrong det still counts as FP
-    dets_fp = [[_obj(score=0.9), _obj(bbox=(600, 0, 700, 60), loc=(30, 1.5, 40), score=0.85)]]
+    # a genuinely-wrong det still counts as FP (scored above the TP so it
+    # dents precision at every recall point)
+    dets_fp = [[_obj(score=0.9), _obj(bbox=(600, 0, 700, 60), loc=(30, 1.5, 40), score=0.95)]]
     ap_fp = evaluate_ap(gts, dets_fp, "Car", "bbox", "easy")
     assert ap_fp < 1.0
