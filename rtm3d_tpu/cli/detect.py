@@ -53,13 +53,34 @@ def load_variables(cfg, model, checkpoint, input_size):
             sd = load_torch_state_dict(checkpoint)
             variables, report = import_torch_weights(variables, sd)
             print(f"imported {len(report['loaded'])} tensors; {len(report['missed'])} missed")
-        else:
+        elif os.path.isdir(checkpoint):  # orbax directory checkpoint
             tx, _ = build_optimizer(cfg, variables["params"])
             template = TrainState.create(variables, tx)
             cp = CheckPointer(os.path.dirname(checkpoint) or ".")
             state, _ = cp.load(template, path=checkpoint, use_latest=False)
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            variables = state.eval_variables
             print(f"loaded checkpoint {checkpoint}")
+        else:
+            # msgpack file: restore untemplated so an EMA shadow (if the run
+            # tracked one) can be preferred — mirroring the reference
+            # CheckPointer's EMA-model preference (check_point.py:122). Also
+            # accepts stripped deploy checkpoints ({params, batch_stats}).
+            from flax import serialization
+
+            with open(checkpoint, "rb") as f:
+                payload = serialization.msgpack_restore(f.read())
+            state = payload.get("state", payload)
+            ema = state.get("ema_params")
+            use_ema = isinstance(ema, dict) and len(ema) > 0
+            src = {
+                "params": ema if use_ema else state["params"],
+                "batch_stats": state.get("batch_stats", {}),
+            }
+            variables = serialization.from_state_dict(variables, src)
+            print(
+                f"loaded checkpoint {checkpoint}"
+                + (" (EMA weights)" if use_ema else "")
+            )
     elif checkpoint:
         print(f"WARNING: checkpoint {checkpoint} not found; using random init")
     return variables
@@ -82,16 +103,24 @@ def main(argv=None):
 
     detect = make_detect_step(model, cfg, with_3d=True)
     loader = DataLoader(
-        ds, args.batch_size, shuffle=False, drop_last=False, num_shards=1, shard_index=0
+        ds,
+        min(args.batch_size, len(ds)),
+        shuffle=False,
+        drop_last=False,
+        num_shards=1,
+        shard_index=0,
+        pad_final=True,  # one compiled detect shape; padded tail skipped below
+        num_workers=int(cfg.get("num_workers", 0)),
     )
 
     names = list(cfg.DATASET.OBJs)
     n_img, t_total = 0, 0.0
     for batch in loader:
         imgs = jnp.asarray(batch["image"])
-        # per-image K from the first valid object slot; falls back to the
-        # dataset's calib when an image carries no objects
-        Ks = batch["labels"]["K"][:, 0].reshape(-1, 3, 3).astype(np.float32)
+        # per-image camera intrinsics, carried independently of the label
+        # slots (reference per-image K contract, dataset_reader.py:41-54) —
+        # valid even for images with empty label files
+        Ks = batch["calib"].reshape(-1, 3, 3).astype(np.float32)
         t0 = time.perf_counter()
         if "warp" in batch:  # device-warp raw mode (TPU.DEVICE_WARP)
             det = detect(
@@ -105,7 +134,8 @@ def main(argv=None):
             det = detect(variables, imgs, jnp.asarray(Ks))
         det = jax.device_get(det)
         t_total += time.perf_counter() - t0
-        for bi in range(imgs.shape[0]):
+        num_valid = int(batch.get("num_valid", imgs.shape[0]))
+        for bi in range(num_valid):
             name = os.path.splitext(os.path.basename(batch["path"][bi]))[0]
             # map 2D boxes from the resized+padded frame back to the original
             # image frame (KITTI results are scored in original pixels; the
@@ -130,7 +160,7 @@ def main(argv=None):
                 # vis draws on the preprocessed frame; in raw/device-warp
                 # mode the host never materialises it
                 _save_vis(args, cfg, batch, det, bi, name)
-        n_img += imgs.shape[0]
+        n_img += num_valid
     print(f"detect: {n_img} images in {t_total:.2f}s ({n_img / max(t_total, 1e-9):.1f} img/s), results -> {args.out_dir}")
 
 
@@ -155,7 +185,7 @@ def _save_vis(args, cfg, batch, det, bi, name):
     if acc.any():
         draw_bbox2d(img, det["bbox2d"][bi][acc], det["cls"][bi][acc], det["scores"][bi][acc], list(cfg.DATASET.OBJs))
         draw_keypoints(img, det["m_proj"][bi][acc])
-        K = batch["labels"]["K"][bi, 0].reshape(3, 3)
+        K = batch["calib"][bi].reshape(3, 3)
         for i in np.where(acc)[0]:
             draw_bbox3d(img, det["dim"][bi][i], det["loc"][bi][i], det["ry"][bi][i], K)
     os.makedirs(args.save_vis, exist_ok=True)

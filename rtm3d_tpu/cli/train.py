@@ -27,6 +27,7 @@ from rtm3d_tpu.nn.model import create_model, num_parameters
 from rtm3d_tpu.parallel.mesh import (
     create_mesh_for_batch,
     is_master,
+    local_batch_size,
     replicate_state,
     shard_batch,
 )
@@ -102,9 +103,21 @@ def main(argv=None):
     mesh = create_mesh_for_batch(cfg, cfg.BATCH_SIZE)
     if is_master():
         print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} over {mesh.devices.size} device(s)")
-    train_loader = DataLoader(train_ds, cfg.BATCH_SIZE, shuffle=True, seed=args.seed)
+    # each process loads only its local_batch_size slice; shard_batch
+    # assembles the global batch (make_array_from_process_local_data), so
+    # the global batch scales with process count and every loaded row is used
+    local_bs = local_batch_size(cfg.BATCH_SIZE)
+    workers = int(cfg.get("num_workers", 0))
+    train_loader = DataLoader(
+        train_ds, local_bs, shuffle=True, seed=args.seed, num_workers=workers
+    )
     test_loader = DataLoader(
-        test_ds, min(cfg.BATCH_SIZE, len(test_ds)), shuffle=False, drop_last=False
+        test_ds,
+        min(local_bs, len(test_ds)),
+        shuffle=False,
+        drop_last=False,
+        pad_final=True,  # one compiled eval shape; tail padded by wrap-around
+        num_workers=workers,
     )
 
     model = create_model(cfg)
@@ -196,12 +209,14 @@ def main(argv=None):
                 )
 
         if is_master():
-            # per-epoch checkpoint + best tracking by test loss (train.py:158-162)
+            # per-epoch checkpoint + best tracking by test loss (train.py:158-162);
+            # a non-finite test loss is explicitly excluded from the best-model
+            # comparison (NaN would compare False anyway, but be deliberate)
             test_total = float(test_items[-1])
             checkpointer.save(
                 f"model_{epoch:07d}", jax.device_get(state), epoch=epoch, min_loss=min_loss
             )
-            if test_total < min_loss:
+            if math.isfinite(test_total) and test_total < min_loss:
                 min_loss = test_total
                 checkpointer.save(
                     "model_best", jax.device_get(state), epoch=epoch, min_loss=min_loss

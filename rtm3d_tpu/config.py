@@ -130,6 +130,10 @@ def default_config() -> Config:
         FAST_PREPROC=False,
         # fixed-shape cap: max objects per image after related-class expansion
         MAX_OBJS=64,
+        # decode every image once into RAM at dataset construction (KITTI
+        # train fits in ~5 GB); removes PNG decode from the per-step host
+        # path and, with forked loader workers, is shared copy-on-write
+        CACHE_IMAGES=False,
         aug_hsv_h=0.014,
         aug_hsv_s=0.68,
         aug_hsv_v=0.36,

@@ -90,9 +90,18 @@ class KITTIDataset:
 
         with open(os.path.join(root, "ImageSets", f"{split}.txt")) as f:
             self._image_files = sorted(f.read().splitlines())
+        self._name_to_idx = {n: i for i, n in enumerate(self._image_files)}
 
+        self._img_cache = None
         self._labels, self._K, self._shapes = self._load_annotations()
         assert len(self._image_files) == len(self._labels) == len(self._K)
+
+        # optional decoded-image RAM cache: one decode per image per run, and
+        # (because loader workers fork AFTER construction) shared
+        # copy-on-write across worker processes — a zero-copy shared-memory
+        # store the reference gets from the OS page cache only partially
+        if bool(cfg.DATASET.get("CACHE_IMAGES", False)):
+            self._img_cache = [self._imread(n) for n in self._image_files]
 
         # the Resize transform scales the max side to this value; kept for
         # mapping detections back to original-image pixels
@@ -182,6 +191,7 @@ class KITTIDataset:
 
         img = self._imread(self._image_files[index])
         labels = self._raw_labels(index)
+        labels = self._push_calib(labels, index)
         h0, w0 = img.shape[:2]
 
         if self.is_training:
@@ -204,6 +214,7 @@ class KITTIDataset:
             (h0, w0), tuple(self.img_size), self.resize_max_side, scale, mirror
         )
         labels = transform_labels_affine(labels, M, mirror, tuple(self.img_size))
+        labels, calib = self._pop_calib(labels)
         border = img.reshape(-1, 3).mean(axis=0).astype(np.float32)
 
         H0, W0 = self._src_hw
@@ -214,7 +225,8 @@ class KITTIDataset:
             "warp": np.concatenate([params, [w0, h0]]).astype(np.float32),
             "border": border,
             "photo": photo,
-            "labels": self._pad_objs(labels),
+            "calib": calib,
+            "labels": self._pad_objs(labels, calib=calib),
             "path": os.path.join(
                 self._root, "training", "image_2", f"{self._image_files[index]}.png"
             ),
@@ -222,6 +234,8 @@ class KITTIDataset:
         }
 
     def _imread(self, name: str) -> np.ndarray:
+        if self._img_cache is not None:
+            return self._img_cache[self._name_to_idx[name]]
         path = os.path.join(self._root, "training", "image_2", f"{name}.png")
         img = cv2.imread(path)  # BGR, reference keeps BGR (dataset_reader.py:128-131)
         if img is None:
@@ -327,7 +341,23 @@ class KITTIDataset:
         labels["K"][:, 5] += pad_h
         return out, labels
 
-    def _pad_objs(self, labels):
+    def _push_calib(self, labels, index):
+        """Append the image-level K as a shadow row of labels['K'] so every
+        geometric transform carries it along (all transforms treat K with
+        full-slice row ops); ``_pop_calib`` splits it back off. Keeps the
+        reference's per-image calib contract (dataset_reader.py:41-54) even
+        for images with empty label files."""
+        row = self._K[index].reshape(1, 9).astype(np.float32)
+        labels["K"] = np.concatenate([np.asarray(labels["K"], np.float32), row], 0)
+        return labels
+
+    @staticmethod
+    def _pop_calib(labels):
+        calib = labels["K"][-1].copy()
+        labels["K"] = labels["K"][:-1]
+        return labels, calib
+
+    def _pad_objs(self, labels, calib=None):
         n = len(labels["cls"])
         m = self.max_objs
         out = {}
@@ -337,7 +367,11 @@ class KITTIDataset:
                 out[k] = v[:m]
                 continue
             pad_shape = (m - n,) + v.shape[1:]
-            pad = np.zeros(pad_shape, v.dtype)
+            if k == "K" and calib is not None:
+                # empty slots carry the image calib, never a zero intrinsic
+                pad = np.tile(calib.reshape(1, 9), (m - n, 1)).astype(np.float32)
+            else:
+                pad = np.zeros(pad_shape, v.dtype)
             out[k] = np.concatenate([v, pad], axis=0)
         out["mask"] = out["mask"].astype(bool)
         if n > m:
@@ -365,16 +399,21 @@ class KITTIDataset:
                 images.append(im)
                 labs.append(lab)
             img, labels = self._apply_mosaic(images, labs, rng)
+            # mosaic composes 4 cameras; a single image-level K is undefined,
+            # so carry the primary tile's raw calib (training-only mode)
+            calib = self._K[index].astype(np.float32).copy()
         elif self.device_warp:
             return self._getitem_raw(index, rng)
         elif self._fast is not None:
             img = self._imread(self._image_files[index])
-            labels = self._raw_labels(index)
+            labels = self._push_calib(self._raw_labels(index), index)
             img, labels = self._fast(img, labels, rng)
-            labels = self._pad_objs(labels)
+            labels, calib = self._pop_calib(labels)
+            labels = self._pad_objs(labels, calib=calib)
             return {
                 "image": img,  # already normalised float32
                 "labels": labels,
+                "calib": calib,
                 "path": os.path.join(
                     self._root, "training", "image_2", f"{self._image_files[index]}.png"
                 ),
@@ -382,10 +421,11 @@ class KITTIDataset:
             }
         else:
             img = self._imread(self._image_files[index])
-            labels = self._raw_labels(index)
+            labels = self._push_calib(self._raw_labels(index), index)
             if self._augment is not None:
                 img, labels = self._augment(img, labels, rng=rng)
             img, labels = self._apply_padding(img, labels)
+            labels, calib = self._pop_calib(labels)
         if self.normalize_on_device:
             img = img.astype(np.uint8)  # raw bytes; the jitted step normalises
         else:
@@ -393,13 +433,14 @@ class KITTIDataset:
                 img.astype(np.float32) / 255.0 - self._norm["mean_rgb"]
             ) / self._norm["std_rgb"]
             img = img.astype(np.float32)
-        labels = self._pad_objs(labels)
+        labels = self._pad_objs(labels, calib=calib)
         path = os.path.join(
             self._root, "training", "image_2", f"{self._image_files[index]}.png"
         )
         return {
             "image": img,
             "labels": labels,
+            "calib": calib,
             "path": path,
             "shape": self._shapes[index],
         }

@@ -1,14 +1,21 @@
-"""Batching loader with per-host sharding and background prefetch.
+"""Batching loader with per-host sharding, worker processes and prefetch.
 
 Replaces torch DataLoader + DistributedSampler (dataset_reader.py:306-322,
 train_multi_gpu.py:164-165): each JAX process reads a strided shard of a
 seeded per-epoch permutation (``set_epoch`` parity), samples are assembled
-into fixed-shape numpy batches, and a small background thread keeps a queue
-of ready batches so host input overlaps device compute.
+into fixed-shape numpy batches, and — mirroring the reference's
+``num_workers`` (dataset_reader.py:316) — ``num_workers`` forked worker
+processes build whole batches round-robin so host input overlaps device
+compute. ``num_workers=0`` keeps a single background prefetch thread.
+
+The augmentation RNG is derived per batch index (not per worker), so the
+sample stream is bit-identical for every ``num_workers`` setting — a
+determinism property torch's DataLoader does not have.
 """
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
 from typing import Dict, Iterator, Optional
@@ -32,6 +39,21 @@ def _stack(samples) -> Dict:
     return batch
 
 
+def _worker_loop(loader: "DataLoader", indices, n_batches, worker_id, out_q):
+    """Build this worker's round-robin share of the epoch's batches.
+
+    Runs in a forked child: numpy/cv2 only — never touches jax/the device
+    (fork-safety; same discipline as torch's _worker_loop)."""
+    try:
+        for b in range(worker_id, n_batches, loader.num_workers):
+            out_q.put((b, loader._build_batch(indices, b)))
+        out_q.put(("done", worker_id))
+    except KeyboardInterrupt:
+        pass
+    except BaseException as e:  # surface worker crashes to the parent
+        out_q.put(("error", f"worker {worker_id}: {type(e).__name__}: {e}"))
+
+
 class DataLoader:
     def __init__(
         self,
@@ -43,6 +65,8 @@ class DataLoader:
         num_shards: Optional[int] = None,
         shard_index: Optional[int] = None,
         prefetch: int = 2,
+        num_workers: int = 0,
+        pad_final: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -54,6 +78,12 @@ class DataLoader:
             shard_index if shard_index is not None else jax.process_index()
         )
         self.prefetch = prefetch
+        self.num_workers = int(num_workers)
+        # pad the final partial batch to the static batch size with
+        # wrap-around samples so every batch has ONE compiled shape (a fresh
+        # XLA compile per distinct remainder size otherwise); consumers read
+        # batch['num_valid'] to ignore the padded tail
+        self.pad_final = bool(pad_final) and not drop_last
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -72,22 +102,88 @@ class DataLoader:
         n = len(self._indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _produce(self, q: "queue.Queue"):
-        rng = np.random.RandomState(self.seed * 100003 + self.epoch)
-        idx = self._indices()
-        nb = len(self)
-        for b in range(nb):
-            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
-            samples = [self.dataset.__getitem__(int(i), rng=rng) for i in chunk]
-            q.put(_stack(samples))
+    # ------------------------------------------------------------------
+    def _batch_rng(self, b: int) -> np.random.RandomState:
+        """Augmentation RNG keyed by (seed, epoch, batch index) — identical
+        stream whatever the worker count."""
+        return np.random.RandomState(
+            (self.seed * 100003 + self.epoch * 1000003 + b * 7919) % (2**31 - 1)
+        )
+
+    def _build_batch(self, indices: np.ndarray, b: int) -> Dict:
+        chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
+        num_valid = len(chunk)
+        if self.pad_final and num_valid < self.batch_size:
+            extra = np.resize(indices, self.batch_size - num_valid)  # cyclic
+            chunk = np.concatenate([chunk, extra])
+        rng = self._batch_rng(b)
+        samples = [self.dataset.__getitem__(int(i), rng=rng) for i in chunk]
+        batch = _stack(samples)
+        batch["num_valid"] = num_valid
+        return batch
+
+    # ------------------------------------------------------------------
+    def _produce(self, q: "queue.Queue", indices, n_batches):
+        for b in range(n_batches):
+            q.put(self._build_batch(indices, b))
         q.put(None)
 
-    def __iter__(self) -> Iterator[Dict]:
+    def _iter_threaded(self, indices, n_batches) -> Iterator[Dict]:
         q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
-        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t = threading.Thread(
+            target=self._produce, args=(q, indices, n_batches), daemon=True
+        )
         t.start()
         while True:
             item = q.get()
             if item is None:
                 return
             yield item
+
+    def _iter_workers(self, indices, n_batches) -> Iterator[Dict]:
+        ctx = mp.get_context("fork")
+        out_q = ctx.Queue(maxsize=max(self.prefetch, self.num_workers))
+        workers = [
+            ctx.Process(
+                target=_worker_loop,
+                args=(self, indices, n_batches, w, out_q),
+                daemon=True,
+            )
+            for w in range(self.num_workers)
+        ]
+        for w in workers:
+            w.start()
+        ready: Dict[int, Dict] = {}
+        next_b, done = 0, 0
+        try:
+            while next_b < n_batches:
+                if next_b in ready:
+                    yield ready.pop(next_b)
+                    next_b += 1
+                    continue
+                if done == self.num_workers:
+                    raise RuntimeError(
+                        f"all workers exited with {n_batches - next_b} "
+                        "batches outstanding"
+                    )
+                tag, payload = out_q.get()
+                if tag == "done":
+                    done += 1
+                elif tag == "error":
+                    raise RuntimeError(payload)
+                else:
+                    ready[tag] = payload
+        finally:
+            for w in workers:
+                if w.is_alive():
+                    w.terminate()
+            for w in workers:
+                w.join(timeout=5)
+            out_q.close()
+
+    def __iter__(self) -> Iterator[Dict]:
+        indices = self._indices()
+        n_batches = len(self)
+        if self.num_workers > 0 and n_batches > 0:
+            return self._iter_workers(indices, n_batches)
+        return self._iter_threaded(indices, n_batches)

@@ -65,19 +65,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sharding: NamedSharding):
+    """Place a host-local batch array onto the mesh. Multi-process: each
+    process holds its local_batch_size slice and the global array is
+    assembled with ``make_array_from_process_local_data`` (the batch axis is
+    the outermost mesh axis, spanning processes uniformly) — so the global
+    batch scales with process count and no loaded rows are discarded
+    (reference scales BATCH_SIZE/ngpus the same way, model_factory.py:61-62)."""
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(mesh: Mesh, batch):
     sh = batch_sharding(mesh)
     out = dict(batch)
-    out["image"] = jax.device_put(batch["image"], sh["image"])
+    out["image"] = _put(batch["image"], sh["image"])
     out["labels"] = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh["labels"]), batch["labels"]
+        lambda x: _put(x, sh["labels"]), batch["labels"]
     )
     # auxiliary per-sample arrays (e.g. 'warp', 'border') shard on batch
     for key, val in batch.items():
         if key in ("image", "labels", "path", "shape"):
             continue
         if hasattr(val, "shape"):
-            out[key] = jax.device_put(val, sh["labels"])
+            out[key] = _put(val, sh["labels"])
     return out
 
 

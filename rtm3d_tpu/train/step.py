@@ -59,9 +59,14 @@ def prepare_images(batch, cfg: Config) -> jnp.ndarray:
             x = imgs.astype(jnp.float32)
             x = x * ph[:, 0, None, None, None] + ph[:, 1, None, None, None] * 255.0
             key = jax.random.PRNGKey(0)
-            keys = jax.vmap(lambda s: jax.random.fold_in(key, s.astype(jnp.int32)))(
-                ph[:, 3]
-            )
+            # fold in the batch lane as well as the host seed so two samples
+            # that drew the same 31-bit randint still get distinct noise
+            lanes = jnp.arange(ph.shape[0], dtype=jnp.int32)
+            keys = jax.vmap(
+                lambda s, i: jax.random.fold_in(
+                    jax.random.fold_in(key, s.astype(jnp.int32)), i
+                )
+            )(ph[:, 3], lanes)
             noise = jax.vmap(
                 lambda k, sd: jax.random.normal(k, imgs.shape[1:]) * sd
             )(keys, ph[:, 2])
@@ -186,11 +191,17 @@ def make_train_step(model, cfg: Config, tx) -> Callable:
 
 def make_eval_loss_step(model, cfg: Config) -> Callable:
     """eval-mode loss (reference test_epoch, train.py:61-81) — without the
-    reference's quirk of paying the decode cost and discarding it."""
+    reference's quirk of paying the decode cost and discarding it.
+
+    Evaluates the EMA shadow when one is tracked (the reference's
+    CheckPointer prefers the EMA model, check_point.py:122) — whether
+    ``ema_params`` is None is part of the pytree structure, so the branch is
+    resolved at trace time."""
 
     def eval_step(state: TrainState, batch):
-        loss_fn = _loss_from_batch(model, cfg, state.params, state.batch_stats, batch, train=False)
-        loss, (aux, _) = loss_fn(state.params)
+        p = state.ema_params if state.ema_params is not None else state.params
+        loss_fn = _loss_from_batch(model, cfg, p, state.batch_stats, batch, train=False)
+        loss, (aux, _) = loss_fn(p)
         return {"loss": loss, "loss_items": aux}
 
     return jax.jit(eval_step)

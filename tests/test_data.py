@@ -160,3 +160,78 @@ def test_loader_batching_and_sharding(kitti_root):
     p1 = [b["path"][0] for b in d1]
     assert not set(p0) & set(p1)
     assert len(p0) + len(p1) == len(ds)
+
+
+def test_loader_workers_match_thread_mode(kitti_root):
+    """num_workers>0 must yield the exact same ordered batch stream as
+    num_workers=0 (per-batch RNG keying makes the stream worker-count
+    invariant — torch DataLoader does not have this property)."""
+    cfg = small_cfg()
+    ds = create_dataset(kitti_root, cfg, is_training=True, split="train")
+    dls = [
+        DataLoader(ds, 2, shuffle=True, seed=7, num_shards=1, shard_index=0,
+                   num_workers=w)
+        for w in (0, 2)
+    ]
+    for dl in dls:
+        dl.set_epoch(3)
+    b0s, b2s = (list(dl) for dl in dls)
+    assert len(b0s) == len(b2s) == 3
+    for a, b in zip(b0s, b2s):
+        assert a["path"] == b["path"]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        for k in a["labels"]:
+            np.testing.assert_array_equal(a["labels"][k], b["labels"][k])
+
+
+def test_loader_pad_final(kitti_root):
+    """pad_final wraps the tail batch to the static batch size and reports
+    num_valid, so eval/detect compile exactly one program shape."""
+    cfg = small_cfg()
+    ds = create_dataset(kitti_root, cfg, is_training=False, split="train")  # 6
+    dl = DataLoader(ds, 4, shuffle=False, drop_last=False, num_shards=1,
+                    shard_index=0, pad_final=True)
+    batches = list(dl)
+    assert len(batches) == 2
+    assert all(b["image"].shape[0] == 4 for b in batches)
+    assert batches[0]["num_valid"] == 4 and batches[1]["num_valid"] == 2
+    # wrap-around: padded rows repeat the first samples of the split
+    assert batches[1]["path"][2] == batches[0]["path"][0]
+    assert batches[1]["path"][3] == batches[0]["path"][1]
+
+
+def test_empty_label_image_calib(tmp_path):
+    """An image with an empty label file must still carry a valid camera
+    intrinsic (reference per-image K contract, dataset_reader.py:41-54) —
+    regression for the detect-path K=0 bug."""
+    root = generate_kitti(str(tmp_path / "k"), num_train=4, num_test=2,
+                          img_hw=(160, 224))
+    open(os.path.join(root, "training", "label_2", "000001.txt"), "w").close()
+    cfg = small_cfg()
+    ds = create_dataset(root, cfg, is_training=False, split="train")
+    i = ds._image_files.index("000001")
+    s = ds[i]
+    calib = s["calib"]
+    assert calib.shape == (9,)
+    assert calib[0] > 0 and abs(calib[8] - 1.0) < 1e-6
+    assert not s["labels"]["mask"].any()
+    # every padded K slot carries the image calib, never zeros
+    np.testing.assert_allclose(
+        s["labels"]["K"], np.tile(calib, (cfg.DATASET.MAX_OBJS, 1)), rtol=1e-5
+    )
+    # object-bearing neighbour (same synthetic camera + image size): its
+    # transformed per-object K and image calib must agree
+    s2 = ds[ds._image_files.index("000000")]
+    np.testing.assert_allclose(s2["calib"], calib, rtol=1e-5)
+    np.testing.assert_allclose(s2["labels"]["K"][0], s2["calib"], rtol=1e-5)
+
+
+def test_cache_images_equivalent(kitti_root):
+    cfg = small_cfg()
+    ds0 = create_dataset(kitti_root, cfg, is_training=False, split="train")
+    cfgc = small_cfg()
+    cfgc.DATASET.CACHE_IMAGES = True
+    ds1 = create_dataset(kitti_root, cfgc, is_training=False, split="train")
+    assert ds1._img_cache is not None and len(ds1._img_cache) == len(ds1)
+    for i in (0, len(ds0) - 1):
+        np.testing.assert_array_equal(ds0[i]["image"], ds1[i]["image"])

@@ -131,3 +131,28 @@ def test_bf16_mixed_precision_training(rng):
         for p in _jax.tree_util.tree_leaves(sb.params)
         if hasattr(p, "dtype") and p.dtype in (jnp.float32, jnp.bfloat16)
     )
+
+
+def test_eval_step_consumes_ema(rng):
+    """run_eval_epoch scores the EMA shadow when one is tracked (the
+    reference CheckPointer's EMA preference, check_point.py:122): after a few
+    steps EMA and raw params diverge, so the two eval losses must differ."""
+    from rtm3d_tpu.train.step import make_eval_loss_step
+
+    cfg = small_cfg()
+    cfg.TRAINING.EMA = True
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables, tx, with_ema=True)
+    step = make_train_step(model, cfg, tx)
+    batch = synth_batch(rng)
+    for _ in range(3):
+        state, _ = step(state, batch)
+
+    eval_step = make_eval_loss_step(model, cfg)
+    loss_ema = float(eval_step(state, batch)["loss"])
+    loss_raw = float(
+        eval_step(state.replace(ema_params=None), batch)["loss"]
+    )
+    # EMA lags the raw params; after 3 aggressive steps they must differ
+    assert loss_ema != loss_raw
