@@ -1,20 +1,30 @@
 """KITTI AP evaluation: AP2D / AP-BEV / AP3D with R40 interpolation.
 
 New capability — the reference computes no metric at all ("test" is eval-mode
-loss only, SURVEY.md §6). This follows the official KITTI object devkit
-protocol: greedy score-ordered matching per class, 40-point interpolated
-precision (R40), difficulty buckets by bbox height / occlusion / truncation.
-Rotated-box overlap is computed with a Sutherland-Hodgman polygon clip in
-numpy (no shapely dependency); 3D IoU = BEV intersection x height overlap.
+loss only, SURVEY.md §6). Official-devkit semantics implemented:
+greedy score-ordered matching per class with valid-gt preference over
+ignored gt, difficulty buckets by bbox height / occlusion / truncation,
+neighbour-class ignores (Van for Car, Person_sitting for Pedestrian),
+DontCare-region absorption (intersection / detection-area clipping), and
+detections smaller than the difficulty's minimum height treated as ignored.
+Rotated-box overlap is a Sutherland-Hodgman polygon clip (no shapely
+dependency); 3D IoU = BEV intersection x height overlap.
 
-Simplifications vs the official C++ evaluator (documented deliberately):
-no DontCare-region filtering and no "van for car" ignore classes — the
-synthetic fixture and typical val splits don't exercise them.
+Scaling: matching runs ONCE per (class, metric, difficulty) — each
+detection's (score, outcome) is recorded in a single score-ordered greedy
+pass, and the whole PR curve follows from cumulative sums (restricting to
+score >= t keeps a score-ordered prefix, so the greedy assignment of that
+prefix is identical — the per-threshold rematch it replaces was
+O(unique scores) slower). Det x gt overlap matrices are computed by the
+native batched kernel (native/geometry.cc) when built, with a pure-python
+fallback.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+import ctypes
+import os
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -146,6 +156,115 @@ def _overlap(metric: str, det: Dict, gt: Dict) -> float:
     return iou_3d(det, gt)
 
 
+# ---------------------------------------------------------------------------
+# Batched overlap matrices (native kernel with pure-python fallback)
+# ---------------------------------------------------------------------------
+
+_GEOM_LIB: Optional[ctypes.CDLL] = None
+_GEOM_TRIED = False
+
+
+def _geom_lib() -> Optional[ctypes.CDLL]:
+    global _GEOM_LIB, _GEOM_TRIED
+    if _GEOM_TRIED:
+        return _GEOM_LIB
+    _GEOM_TRIED = True
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.environ.get(
+        "RTM3D_GEOMETRY_LIB", os.path.join(root, "native", "libgeometry.so")
+    )
+    if os.path.exists(path):
+        try:
+            lib = ctypes.CDLL(path)
+            f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+            lib.bev_intersection_matrix.argtypes = [
+                f32p, ctypes.c_int64, f32p, ctypes.c_int64, f32p,
+            ]
+            lib.bev_intersection_matrix.restype = None
+            _GEOM_LIB = lib
+        except OSError:
+            _GEOM_LIB = None
+    return _GEOM_LIB
+
+
+def bev_intersection_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(na,5) x (nb,5) boxes (x, z, w, l, ry) -> (na, nb) intersection areas."""
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    na, nb = len(a), len(b)
+    out = np.zeros((na, nb), np.float32)
+    if na == 0 or nb == 0:
+        return out
+    lib = _geom_lib()
+    if lib is not None:
+        lib.bev_intersection_matrix(a, na, b, nb, out)
+        return out
+    for i in range(na):
+        for j in range(nb):
+            out[i, j] = bev_overlap(a[i], b[j])
+    return out
+
+
+def _bev5(objs: List[Dict]) -> np.ndarray:
+    return np.array(
+        [[o["loc"][0], o["loc"][2], o["dim"][1], o["dim"][2], o["ry"]] for o in objs],
+        np.float32,
+    ).reshape(-1, 5)
+
+
+def iou_2d_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(na,4) x (nb,4) xyxy boxes -> (na, nb) IoU."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float64)
+    ix = np.clip(
+        np.minimum(a[:, None, 2], b[None, :, 2]) - np.maximum(a[:, None, 0], b[None, :, 0]),
+        0, None,
+    )
+    iy = np.clip(
+        np.minimum(a[:, None, 3], b[None, :, 3]) - np.maximum(a[:, None, 1], b[None, :, 1]),
+        0, None,
+    )
+    inter = ix * iy
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def overlap_matrix(metric: str, dets: List[Dict], gts: List[Dict]) -> np.ndarray:
+    """All det x gt overlaps of one image in one shot."""
+    D, G = len(dets), len(gts)
+    if D == 0 or G == 0:
+        return np.zeros((D, G), np.float64)
+    if metric == "bbox":
+        return iou_2d_matrix(
+            np.array([o["bbox"] for o in dets], np.float64),
+            np.array([o["bbox"] for o in gts], np.float64),
+        )
+    a, b = _bev5(dets), _bev5(gts)
+    inter_bev = bev_intersection_matrix(a, b).astype(np.float64)
+    if metric == "bev":
+        area_a = (a[:, 2] * a[:, 3]).astype(np.float64)
+        area_b = (b[:, 2] * b[:, 3]).astype(np.float64)
+        union = area_a[:, None] + area_b[None, :] - inter_bev
+        return np.where(union > 0, inter_bev / np.maximum(union, 1e-12), 0.0)
+    # 3d: BEV intersection x vertical overlap (loc y = box bottom)
+    ha = np.array([o["dim"][0] for o in dets], np.float64)
+    hb = np.array([o["dim"][0] for o in gts], np.float64)
+    y1a = np.array([o["loc"][1] for o in dets], np.float64)
+    y1b = np.array([o["loc"][1] for o in gts], np.float64)
+    ih = np.clip(
+        np.minimum(y1a[:, None], y1b[None, :])
+        - np.maximum((y1a - ha)[:, None], (y1b - hb)[None, :]),
+        0, None,
+    )
+    inter = inter_bev * ih
+    va = ha * a[:, 2].astype(np.float64) * a[:, 3].astype(np.float64)
+    vb = hb * b[:, 2].astype(np.float64) * b[:, 3].astype(np.float64)
+    union = va[:, None] + vb[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
 def _gt_in_difficulty(gt: Dict, difficulty: str) -> bool:
     min_h, max_occ, max_trunc = DIFFICULTY[difficulty]
     h = gt["bbox"][3] - gt["bbox"][1]
@@ -172,78 +291,107 @@ def evaluate_ap(
 ) -> float:
     """AP_R40 over a dataset. gts/dets: per image lists of parsed objects.
 
-    Official-devkit semantics: gt of the class split into valid (difficulty
-    bucket) vs ignored; neighbour-class gt (Van for Car, Person_sitting for
-    Pedestrian) and DontCare regions absorb matching detections without
-    counting as FP."""
+    Official-devkit semantics: gt of the class splits into valid (difficulty
+    bucket) vs ignored (harder difficulty, or neighbour class: Van for Car,
+    Person_sitting for Pedestrian); ignored gt and DontCare regions absorb
+    matching detections without counting TP or FP; detections shorter than
+    the difficulty's minimum bbox height are ignored (a valid gt they match
+    leaves the FN pool but scores no TP — the devkit's ignored-detection
+    rule); valid gt is preferred over ignored gt in assignment.
+
+    Single pass: dets processed in descending score order against per-image
+    overlap matrices; every det yields one (score, outcome) event and the
+    PR curve is cumulative sums over the event list.
+    """
     min_ov = MIN_OVERLAP[metric][0 if class_name == "Car" else 1]
     neighbors = NEIGHBOR_CLASSES.get(class_name, ())
+    min_height = DIFFICULTY[difficulty][0]
 
-    # collect per-image class-filtered gt/det
-    all_scores = []
-    per_image = []
+    TP, FP, SHADOW = 0, 1, 2  # SHADOW: valid gt consumed by an ignored det
+    events: List = []  # (score, kind)
     total_valid_gt = 0
     for gt_list, det_list in zip(gts, dets):
-        g = [o for o in gt_list if o["type"] == class_name]
-        valid = [o for o in g if _gt_in_difficulty(o, difficulty)]
-        ignore_boxes = [
-            o for o in gt_list if o["type"] in neighbors or o["type"] == "DontCare"
-        ]
+        valid, ignored, dontcare = [], [], []
+        for o in gt_list:
+            if o["type"] == class_name:
+                (valid if _gt_in_difficulty(o, difficulty) else ignored).append(o)
+            elif o["type"] in neighbors:
+                ignored.append(o)
+            elif o["type"] == "DontCare":
+                dontcare.append(o)
+        total_valid_gt += len(valid)
         d = sorted(
             (o for o in det_list if o["type"] == class_name),
             key=lambda o: -o["score"],
         )
-        total_valid_gt += len(valid)
-        per_image.append((g, valid, ignore_boxes, d))
-        all_scores += [o["score"] for o in d]
-    if total_valid_gt == 0:
-        return 0.0
+        if not d:
+            continue
 
-    def pr_at(thresh: float):
-        tp = fp = 0
-        for g_all, g_valid, ignores, d in per_image:
-            matched = set()
-            for det in d:
-                if det["score"] < thresh:
+        ov_valid = overlap_matrix(metric, d, valid)
+        ov_ign = overlap_matrix(metric, d, ignored)
+        if dontcare:
+            # DontCare clipping: intersection / detection area (devkit
+            # semantics — a det fully inside the region is absorbed
+            # regardless of the region's size)
+            db = np.array([o["bbox"] for o in d], np.float64)
+            cb = np.array([o["bbox"] for o in dontcare], np.float64)
+            ix = np.clip(
+                np.minimum(db[:, None, 2], cb[None, :, 2])
+                - np.maximum(db[:, None, 0], cb[None, :, 0]),
+                0, None,
+            )
+            iy = np.clip(
+                np.minimum(db[:, None, 3], cb[None, :, 3])
+                - np.maximum(db[:, None, 1], cb[None, :, 1]),
+                0, None,
+            )
+            area = np.maximum(
+                (db[:, 2] - db[:, 0]) * (db[:, 3] - db[:, 1]), 1e-12
+            )
+            dc_frac = (ix * iy) / area[:, None]
+        else:
+            dc_frac = np.zeros((len(d), 0))
+
+        used_valid = np.zeros(len(valid), bool)
+        used_ign = np.zeros(len(ignored), bool)
+        for i, det in enumerate(d):
+            small = (det["bbox"][3] - det["bbox"][1]) < min_height
+            # 1) valid gt first (devkit prefers valid over ignored)
+            if len(valid):
+                cand = np.where(~used_valid & (ov_valid[i] >= min_ov))[0]
+                if len(cand):
+                    j = cand[np.argmax(ov_valid[i][cand])]
+                    used_valid[j] = True
+                    events.append((det["score"], SHADOW if small else TP))
                     continue
-                best, best_i = min_ov, -1
-                for i, gt in enumerate(g_all):
-                    if i in matched:
-                        continue
-                    ov = _overlap(metric, det, gt)
-                    if ov >= best:
-                        best, best_i = ov, i
-                if best_i >= 0:
-                    matched.add(best_i)
-                    # identity check: dicts hold numpy arrays, `in` would
-                    # trigger ambiguous array equality
-                    if any(g_all[best_i] is v for v in g_valid):
-                        tp += 1
-                    # matches to harder-difficulty gt are ignored (not FP)
-                else:
-                    # neighbour-class / DontCare absorption (2D overlap, like
-                    # the devkit's image-plane stuff boxes)
-                    absorbed = any(
-                        iou_2d(det["bbox"], ig["bbox"]) >= 0.5 for ig in ignores
-                    )
-                    if not absorbed:
-                        fp += 1
-        fn = total_valid_gt - tp
-        prec = tp / (tp + fp) if tp + fp > 0 else 0.0
-        rec = tp / (tp + fn) if tp + fn > 0 else 0.0
-        return prec, rec
+            # 2) ignored gt absorbs the det (neither TP nor FP)
+            if len(ignored):
+                cand = np.where(~used_ign & (ov_ign[i] >= min_ov))[0]
+                if len(cand):
+                    used_ign[cand[np.argmax(ov_ign[i][cand])]] = True
+                    continue
+            # 3) too-small unmatched det: ignored, never FP
+            if small:
+                continue
+            # 4) DontCare region absorption
+            if dc_frac.shape[1] and (dc_frac[i] >= min_ov).any():
+                continue
+            events.append((det["score"], FP))
 
-    # R40: precision sampled at 40 recall points via score thresholds
-    scores = np.sort(np.array(all_scores))[::-1]
-    if len(scores) == 0:
+    if total_valid_gt == 0 or not events:
         return 0.0
-    precs = []
-    recalls = []
-    for t in np.unique(scores):
-        p, r = pr_at(t)
-        precs.append(p)
-        recalls.append(r)
-    precs, recalls = np.array(precs), np.array(recalls)
+
+    ev = np.array(sorted(events, key=lambda e: -e[0]), np.float64)
+    scores, kinds = ev[:, 0], ev[:, 1]
+    tp_c = np.cumsum(kinds == TP)
+    fp_c = np.cumsum(kinds == FP)
+    sh_c = np.cumsum(kinds == SHADOW)
+    # only threshold-realisable points: the last index of each tied-score run
+    last = np.r_[scores[1:] != scores[:-1], True]
+    tp_c, fp_c, sh_c = tp_c[last], fp_c[last], sh_c[last]
+    denom_fn = np.maximum(total_valid_gt - sh_c, 1e-12)
+    recalls = tp_c / denom_fn
+    precs = tp_c / np.maximum(tp_c + fp_c, 1e-12)
     ap = 0.0
     for r in np.linspace(0.025, 1.0, 40):
         mask = recalls >= r

@@ -133,3 +133,138 @@ def test_neighbor_class_and_dontcare_absorption():
     dets_fp = [[_obj(score=0.9), _obj(bbox=(600, 0, 700, 60), loc=(30, 1.5, 40), score=0.95)]]
     ap_fp = evaluate_ap(gts, dets_fp, "Car", "bbox", "easy")
     assert ap_fp < 1.0
+
+
+def test_bev_matrix_matches_scalar():
+    from rtm3d_tpu.eval.ap import bev_intersection_matrix
+
+    rng = np.random.RandomState(3)
+    a = np.stack(
+        [rng.uniform(-10, 10, 20), rng.uniform(5, 40, 20),
+         rng.uniform(0.5, 3, 20), rng.uniform(1, 5, 20),
+         rng.uniform(-np.pi, np.pi, 20)], axis=1).astype(np.float32)
+    b = a[rng.permutation(20)[:10]] + rng.uniform(-1, 1, (10, 5)).astype(np.float32)
+    M = bev_intersection_matrix(a, b)
+    for i in range(len(a)):
+        for j in range(len(b)):
+            assert M[i, j] == pytest.approx(bev_overlap(a[i], b[j]), abs=1e-4)
+
+
+def test_valid_gt_preferred_over_ignored():
+    """Devkit assignment order: a det overlapping both a valid gt and a
+    (higher-overlap) harder-difficulty gt must count TP, not be absorbed."""
+    valid = _obj(bbox=(0, 0, 100, 60))
+    harder = _obj(bbox=(0, 0, 100, 62), occ=2, loc=(0.1, 1.5, 10.05))
+    det = _obj(bbox=(0, 0, 100, 61), score=0.9)  # IoU: 0.984 ignored > 0.983 valid
+    ap = evaluate_ap([[valid, harder]], [[det]], "Car", "bbox", "easy")
+    assert ap == pytest.approx(1.0, abs=0.03)
+
+
+def test_small_unmatched_detection_not_fp():
+    """Dets below the difficulty's min bbox height are ignored (devkit
+    MIN_HEIGHT rule), so a stray 20px det costs nothing at easy."""
+    gts = [[_obj()]]
+    dets = [[_obj(score=0.9),
+             _obj(bbox=(300, 0, 340, 20), loc=(30, 1.5, 60), score=0.95)]]
+    assert evaluate_ap(gts, dets, "Car", "bbox", "easy") == pytest.approx(1.0, abs=0.03)
+    # ...but a full-size stray det is a genuine FP
+    dets_fp = [[_obj(score=0.9),
+                _obj(bbox=(300, 0, 400, 60), loc=(30, 1.5, 60), score=0.95)]]
+    assert evaluate_ap(gts, dets_fp, "Car", "bbox", "easy") < 1.0
+
+
+def test_single_pass_matches_rematch_oracle():
+    """The single-pass event formulation must equal per-threshold greedy
+    rematching (score-ordered prefixes share the greedy assignment)."""
+    from rtm3d_tpu.eval.ap import DIFFICULTY, MIN_OVERLAP, iou_2d_matrix
+
+    rng = np.random.RandomState(11)
+    gts, dets = [], []
+    for _ in range(30):
+        g = []
+        for _ in range(rng.randint(0, 5)):
+            x, y = rng.uniform(0, 400), rng.uniform(0, 100)
+            # heights stay >= 40+2*8 so the jittered dets never trip the
+            # min-height ignore rule the oracle doesn't model
+            w, h = rng.uniform(30, 120), rng.uniform(60, 90)
+            g.append(_obj(bbox=(x, y, x + w, y + h)))
+        d = []
+        for go in g:
+            if rng.rand() < 0.8:  # jittered copy
+                j = rng.uniform(-8, 8, 4)
+                d.append(_obj(bbox=tuple(np.array(go["bbox"]) + j),
+                              score=float(rng.rand())))
+        for _ in range(rng.randint(0, 3)):  # strays
+            x, y = rng.uniform(0, 400), rng.uniform(0, 100)
+            d.append(_obj(bbox=(x, y, x + rng.uniform(30, 90), y + rng.uniform(45, 80)),
+                          score=float(rng.rand())))
+        gts.append(g)
+        dets.append(d)
+
+    min_ov = MIN_OVERLAP["bbox"][0]
+
+    def oracle_ap():
+        scores = sorted({o["score"] for d in dets for o in d}, reverse=True)
+        total = sum(len(g) for g in gts)
+        precs, recs = [], []
+        for t in scores:
+            tp = fp = 0
+            for g, d in zip(gts, dets):
+                ds = [o for o in sorted(d, key=lambda o: -o["score"]) if o["score"] >= t]
+                if not ds:
+                    continue
+                ov = iou_2d_matrix(np.array([o["bbox"] for o in ds]),
+                                   np.array([o["bbox"] for o in g]).reshape(-1, 4))
+                used = np.zeros(len(g), bool)
+                for i in range(len(ds)):
+                    cand = np.where(~used & (ov[i] >= min_ov))[0] if len(g) else []
+                    if len(cand):
+                        used[cand[np.argmax(ov[i][cand])]] = True
+                        tp += 1
+                    else:
+                        fp += 1
+            precs.append(tp / max(tp + fp, 1e-12))
+            recs.append(tp / max(total, 1e-12))
+        precs, recs = np.array(precs), np.array(recs)
+        ap = 0.0
+        for r in np.linspace(0.025, 1.0, 40):
+            m = recs >= r
+            ap += (precs[m].max() if m.any() else 0.0) / 40.0
+        return min(ap, 1.0)
+
+    got = evaluate_ap(gts, dets, "Car", "bbox", "easy")
+    assert got == pytest.approx(oracle_ap(), abs=1e-9)
+
+
+def test_eval_scales_to_real_val_size():
+    """3,769-image-scale evaluation must finish in seconds, not hours
+    (single-pass matching + native overlap kernel)."""
+    import time
+
+    rng = np.random.RandomState(5)
+    gts, dets = [], []
+    for _ in range(3769):
+        g, d = [], []
+        for _ in range(rng.randint(1, 7)):
+            x, z = rng.uniform(-15, 15), rng.uniform(5, 60)
+            bx, by = rng.uniform(0, 1000), rng.uniform(100, 200)
+            o = _obj(bbox=(bx, by, bx + rng.uniform(40, 150), by + rng.uniform(30, 90)),
+                     loc=(x, 1.5, z), ry=rng.uniform(-np.pi, np.pi))
+            g.append(o)
+            if rng.rand() < 0.9:
+                j = dict(o)
+                j["loc"] = o["loc"] + rng.uniform(-0.4, 0.4, 3)
+                j["score"] = float(rng.rand())
+                d.append(j)
+        for _ in range(rng.randint(0, 4)):
+            d.append(_obj(bbox=(0, 0, 80, 60), loc=(rng.uniform(-30, 30), 1.5, rng.uniform(5, 70)),
+                          ry=rng.uniform(-np.pi, np.pi), score=float(rng.rand())))
+        gts.append(g)
+        dets.append(d)
+    t0 = time.perf_counter()
+    for metric in ("bbox", "bev", "3d"):
+        for diff in ("easy", "moderate", "hard"):
+            ap = evaluate_ap(gts, dets, "Car", metric, diff)
+            assert 0.0 <= ap <= 1.0
+    dt = time.perf_counter() - t0
+    assert dt < 60.0, f"9 evaluation cells took {dt:.1f}s"
