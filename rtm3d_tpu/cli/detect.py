@@ -181,15 +181,33 @@ def _save_vis(args, cfg, batch, det, bi, name):
         img = denormalize(
             raw, np.array(cfg.DATASET.MEAN), np.array(cfg.DATASET.STD)
         ).copy()
+    base = img.copy()  # clean frame for the comparison panel
+    K = batch["calib"][bi].reshape(3, 3)
     acc = det["accepted"][bi]
     if acc.any():
         draw_bbox2d(img, det["bbox2d"][bi][acc], det["cls"][bi][acc], det["scores"][bi][acc], list(cfg.DATASET.OBJs))
         draw_keypoints(img, det["m_proj"][bi][acc])
-        K = batch["calib"][bi].reshape(3, 3)
         for i in np.where(acc)[0]:
             draw_bbox3d(img, det["dim"][bi][i], det["loc"][bi][i], det["ry"][bi][i], K)
     os.makedirs(args.save_vis, exist_ok=True)
     cv2.imwrite(os.path.join(args.save_vis, f"{name}.png"), img)
+    # 3-row gt/pred comparison panel (reference detect.py:64-104 stacked
+    # display: keypoints+2D / solved 3D with front-face fill / regressed
+    # vertices), with gt boxes underneath in gray
+    from rtm3d_tpu.utils.visual import compose_detection_panel
+
+    m = batch["labels"]["mask"][bi]
+    gt3d = list(
+        zip(
+            batch["labels"]["dim"][bi][m],
+            batch["labels"]["loc"][bi][m],
+            batch["labels"]["ry"][bi][m],
+        )
+    )
+    panel = compose_detection_panel(
+        base, det, bi, K, list(cfg.DATASET.OBJs), gt=gt3d
+    )
+    cv2.imwrite(os.path.join(args.save_vis, f"{name}_panel.png"), panel)
     # bird's-eye-view panel (reference visual_utils.py:165-197)
     from rtm3d_tpu.utils.visual import draw_birdview
 

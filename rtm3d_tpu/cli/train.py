@@ -22,14 +22,14 @@ import numpy as np
 
 from rtm3d_tpu.config import load_config
 from rtm3d_tpu.data.kitti import create_dataset
-from rtm3d_tpu.data.loader import DataLoader
+from rtm3d_tpu.data.loader import DataLoader, prefetch_to_device
 from rtm3d_tpu.nn.model import create_model, num_parameters
 from rtm3d_tpu.parallel.mesh import (
     create_mesh_for_batch,
+    device_batch,
     is_master,
     local_batch_size,
     replicate_state,
-    shard_batch,
 )
 from rtm3d_tpu.train.checkpoint import (
     CheckPointer,
@@ -74,13 +74,31 @@ def setup(args):
     return cfg
 
 
-def run_eval_epoch(eval_step, state, loader, mesh):
+def run_eval_epoch(eval_step, state, loader, mesh, image_cache=None):
     losses = []
-    for batch in loader:
-        sb = shard_batch(mesh, {"image": batch["image"], "labels": batch["labels"]})
-        out = eval_step(state, sb)
+    for sb in prefetch_to_device(iter(loader), lambda b: device_batch(mesh, b)):
+        out = eval_step(state, sb, image_cache)
         losses.append(np.asarray(out["loss_items"]))
     return np.stack(losses).mean(axis=0) if losses else np.zeros(5)
+
+
+def build_image_cache(ds, mesh):
+    """HBM-resident dataset cache (TPU.DEVICE_DATA_CACHE): one-time transfer
+    of every raw frame, replicated over the mesh; per-step H2D then carries
+    only labels + affine scalars."""
+    if not getattr(ds, "device_cache", False):
+        return None
+    from rtm3d_tpu.parallel.mesh import replicated
+
+    arr = ds.canvas_array()
+    rep = replicated(mesh)
+    if jax.process_count() > 1:
+        cache = jax.make_array_from_process_local_data(rep, arr, arr.shape)
+    else:
+        cache = jax.device_put(arr, rep)
+    if is_master():
+        print(f"device data cache: {arr.nbytes / 1e9:.2f} GB resident in HBM")
+    return cache
 
 
 def main(argv=None):
@@ -160,6 +178,8 @@ def main(argv=None):
 
     train_step = make_train_step(model, cfg, tx)
     eval_step = make_eval_loss_step(model, cfg)
+    train_cache = build_image_cache(train_ds, mesh)
+    test_cache = build_image_cache(test_ds, mesh)
 
     tb_writer = None
     if is_master():
@@ -176,9 +196,12 @@ def main(argv=None):
         train_loader.set_epoch(epoch)
         mloss = np.zeros(5)
         t_ep = time.time()
-        for i, batch in enumerate(train_loader):
-            sb = shard_batch(mesh, {"image": batch["image"], "labels": batch["labels"]})
-            state, metrics = train_step(state, sb)
+        # batches are sharded/transferred by a background thread so H2D
+        # overlaps the device step (prefetch_to_device)
+        for i, sb in enumerate(
+            prefetch_to_device(iter(train_loader), lambda b: device_batch(mesh, b))
+        ):
+            state, metrics = train_step(state, sb, train_cache)
             items = np.asarray(metrics["loss_items"])
             if not np.isfinite(items[-1]):
                 # non-finite loss abort (train.py:97-99)
@@ -200,7 +223,9 @@ def main(argv=None):
 
         test_items = mloss
         if (epoch + 1) % args.test_interval == 0 and len(test_loader) > 0:
-            test_items = run_eval_epoch(eval_step, state, test_loader, mesh)
+            test_items = run_eval_epoch(
+                eval_step, state, test_loader, mesh, image_cache=test_cache
+            )
             if is_master():
                 print(
                     f"epoch {epoch} test: "

@@ -93,6 +93,7 @@ class KITTIDataset:
         self._name_to_idx = {n: i for i, n in enumerate(self._image_files)}
 
         self._img_cache = None
+        self._border_cache: Dict[int, np.ndarray] = {}
         self._labels, self._K, self._shapes = self._load_annotations()
         assert len(self._image_files) == len(self._labels) == len(self._K)
 
@@ -141,11 +142,32 @@ class KITTIDataset:
         # the jitted step resamples on the MXU (ops/device_warp.py). Removes
         # host-side resampling entirely. Training path only.
         self.device_warp = bool(cfg.TPU.get("DEVICE_WARP", False)) and not cfg.IS_MOSAIC
+        # device-resident dataset: samples carry an index instead of pixels;
+        # the jitted step gathers the frame from the HBM cache
+        # (TPU.DEVICE_DATA_CACHE; see canvas_array / train/step.py)
+        self.device_cache = (
+            bool(cfg.TPU.get("DEVICE_DATA_CACHE", False)) and self.device_warp
+        )
         if self.device_warp:
             self._src_hw = (
                 int(self._shapes[:, 1].max()),  # H0max
                 int(self._shapes[:, 0].max()),  # W0max
             )
+
+    def canvas_array(self) -> np.ndarray:
+        """All frames on the common (H0max, W0max) canvas: (N, H0, W0, 3)
+        uint8 — the host-side source of the device data cache. ~1.4 MB per
+        KITTI image; the full train split is ~5.2 GB."""
+        H0, W0 = self._src_hw
+        out = np.zeros((len(self), H0, W0, 3), np.uint8)
+        for i, name in enumerate(self._image_files):
+            img = self._imread(name)
+            out[i, : img.shape[0], : img.shape[1]] = img
+            if i not in self._border_cache:
+                self._border_cache[i] = np.array(cv2.mean(img))[:3].astype(
+                    np.float32
+                )
+        return out
 
     # ------------------------------------------------------------------
     def _load_annotations(self):
@@ -185,14 +207,20 @@ class KITTIDataset:
 
     def _getitem_raw(self, index, rng):
         """Device-warp mode: raw uint8 source on a fixed canvas + affine
-        params; labels transformed on host with the identical affine."""
+        params; labels transformed on host with the identical affine. In
+        device-cache mode no pixel is touched at all (shape/border come from
+        the annotation caches)."""
         from rtm3d_tpu.data.fast_preproc import transform_labels_affine
         from rtm3d_tpu.ops.device_warp import warp_params_for
 
-        img = self._imread(self._image_files[index])
+        if self.device_cache and index in self._border_cache:
+            img = None
+            w0, h0 = (int(v) for v in self._shapes[index])
+        else:
+            img = self._imread(self._image_files[index])
+            h0, w0 = img.shape[:2]
         labels = self._raw_labels(index)
         labels = self._push_calib(labels, index)
-        h0, w0 = img.shape[:2]
 
         if self.is_training:
             # photometric params only — the augmentation itself runs on
@@ -215,13 +243,21 @@ class KITTIDataset:
         )
         labels = transform_labels_affine(labels, M, mirror, tuple(self.img_size))
         labels, calib = self._pop_calib(labels)
-        border = img.reshape(-1, 3).mean(axis=0).astype(np.float32)
+        border = (
+            self._border_cache[index]
+            if img is None
+            else self._mean_color(index, img)
+        )
 
-        H0, W0 = self._src_hw
-        canvas = np.zeros((H0, W0, 3), np.uint8)
-        canvas[:h0, :w0] = img
+        if self.device_cache:
+            image = {"image_idx": np.int32(index)}  # pixels live in HBM
+        else:
+            H0, W0 = self._src_hw
+            canvas = np.zeros((H0, W0, 3), np.uint8)
+            canvas[:h0, :w0] = img
+            image = {"image": canvas}
         return {
-            "image": canvas,
+            **image,
             "warp": np.concatenate([params, [w0, h0]]).astype(np.float32),
             "border": border,
             "photo": photo,
@@ -232,6 +268,16 @@ class KITTIDataset:
             ),
             "shape": self._shapes[index],
         }
+
+    def _mean_color(self, index: int, img: np.ndarray) -> np.ndarray:
+        """Per-image mean colour (border fill), cached: it is augmentation-
+        independent, and computing it per sample was the device-warp host
+        path's single biggest cost (a full-image numpy reduction)."""
+        b = self._border_cache.get(index)
+        if b is None:
+            b = np.array(cv2.mean(img))[:3].astype(np.float32)
+            self._border_cache[index] = b
+        return b
 
     def _imread(self, name: str) -> np.ndarray:
         if self._img_cache is not None:

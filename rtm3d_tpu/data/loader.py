@@ -187,3 +187,57 @@ class DataLoader:
         if self.num_workers > 0 and n_batches > 0:
             return self._iter_workers(indices, n_batches)
         return self._iter_threaded(indices, n_batches)
+
+
+def prefetch_to_device(iterator, put_fn, size: int = 2, use_thread=None) -> Iterator:
+    """Double-buffered device prefetch: run ``put_fn`` (e.g.
+    ``lambda b: shard_batch(mesh, b)``) on upcoming batches so H2D transfer
+    and host->device conversion overlap the device step instead of blocking
+    the training loop (the implicit numpy->device conversion inside a jit
+    call is serialized with the step and measured ~85 ms/batch at KITTI
+    scale on the tunneled runtime).
+
+    Two strategies:
+      * main-thread double buffer (default on <=2-core hosts): yield the
+        resident batch, then transfer the next one while the consumer's
+        async-dispatched step runs on the device — no GIL contention.
+      * background thread (default otherwise): a producer thread keeps
+        ``size`` batches device-resident ahead of consumption.
+    """
+    import os
+
+    if use_thread is None:
+        use_thread = (os.cpu_count() or 1) > 2
+
+    if not use_thread:
+        it = iter(iterator)
+        try:
+            cur = put_fn(next(it))
+        except StopIteration:
+            return
+        for item in it:
+            yield cur  # consumer dispatches its step (async) ...
+            cur = put_fn(item)  # ... while this transfer rides behind it
+        yield cur
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(size, 1))
+    END, ERR = object(), object()
+
+    def produce():
+        try:
+            for item in iterator:
+                q.put(put_fn(item))
+            q.put(END)
+        except BaseException as e:  # propagate into the consumer
+            q.put((ERR, e))
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
+            raise item[1]
+        yield item

@@ -82,7 +82,8 @@ def _put(x, sharding: NamedSharding):
 def shard_batch(mesh: Mesh, batch):
     sh = batch_sharding(mesh)
     out = dict(batch)
-    out["image"] = _put(batch["image"], sh["image"])
+    if "image" in batch:  # absent in device-data-cache mode (image_idx instead)
+        out["image"] = _put(batch["image"], sh["image"])
     out["labels"] = jax.tree_util.tree_map(
         lambda x: _put(x, sh["labels"]), batch["labels"]
     )
@@ -93,6 +94,18 @@ def shard_batch(mesh: Mesh, batch):
         if hasattr(val, "shape"):
             out[key] = _put(val, sh["labels"])
     return out
+
+
+# arrays the jitted steps consume; host-only keys (path, shape, num_valid)
+# stay on the host side of the pipeline
+DEVICE_BATCH_KEYS = ("image", "image_idx", "labels", "warp", "border", "photo")
+
+
+def device_batch(mesh: Mesh, batch):
+    """Select the jit-consumed arrays of a loader batch and shard them —
+    includes the device-warp raw-mode keys (warp/border/photo) so
+    TPU.DEVICE_WARP works through the CLI loop."""
+    return shard_batch(mesh, {k: batch[k] for k in DEVICE_BATCH_KEYS if k in batch})
 
 
 def replicate_state(mesh: Mesh, state):

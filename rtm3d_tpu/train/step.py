@@ -44,13 +44,22 @@ def normalize_images(imgs: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     return imgs
 
 
-def prepare_images(batch, cfg: Config) -> jnp.ndarray:
+def prepare_images(batch, cfg: Config, image_cache=None) -> jnp.ndarray:
     """Device-side input stage: either the MXU matmul-warp ('raw' mode ships
     the original uint8 frame + affine scalars; ops/device_warp.py) or plain
     uint8 normalisation. Photometric augmentation (brightness/contrast +
     gaussian noise) also runs on device when the loader ships its params —
-    generating full-res noise in numpy costs ~20 ms/img on a weak host."""
-    imgs = batch["image"]
+    generating full-res noise in numpy costs ~20 ms/img on a weak host.
+
+    With TPU.DEVICE_DATA_CACHE the batch carries ``image_idx`` instead of
+    pixels: frames are gathered from the HBM-resident dataset cache, so the
+    host->device path per step is labels + scalars only (~100 KB vs ~22 MB
+    at KITTI scale — the per-step H2D was the input-pipeline bottleneck)."""
+    if "image_idx" in batch:
+        assert image_cache is not None, "batch has image_idx but no image_cache"
+        imgs = jnp.take(image_cache, batch["image_idx"], axis=0)
+    else:
+        imgs = batch["image"]
     if "warp" in batch:
         from rtm3d_tpu.ops.device_warp import device_warp
 
@@ -83,10 +92,11 @@ def prepare_images(batch, cfg: Config) -> jnp.ndarray:
     return normalize_images(imgs, cfg)
 
 
-def _loss_from_batch(model, cfg: Config, params, batch_stats, batch, train: bool):
+def _loss_from_batch(model, cfg: Config, params, batch_stats, batch, train: bool,
+                     image_cache=None):
     feat_hw = _feat_hw(cfg)
     num_classes = len(cfg.DATASET.OBJs)
-    imgs = prepare_images(batch, cfg)
+    imgs = prepare_images(batch, cfg, image_cache)
     targets = build_targets(
         batch["labels"],
         feat_hw,
@@ -156,8 +166,11 @@ def make_train_step(model, cfg: Config, tx) -> Callable:
     metrics: {'loss', 'loss_items'[MKF,VFM,M_OFF,V_OFF,total], 'num_targets'}.
     """
 
-    def train_step(state: TrainState, batch):
-        loss_fn = _loss_from_batch(model, cfg, state.params, state.batch_stats, batch, train=True)
+    def train_step(state: TrainState, batch, image_cache=None):
+        loss_fn = _loss_from_batch(
+            model, cfg, state.params, state.batch_stats, batch, train=True,
+            image_cache=image_cache,
+        )
         (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
@@ -198,9 +211,12 @@ def make_eval_loss_step(model, cfg: Config) -> Callable:
     ``ema_params`` is None is part of the pytree structure, so the branch is
     resolved at trace time."""
 
-    def eval_step(state: TrainState, batch):
+    def eval_step(state: TrainState, batch, image_cache=None):
         p = state.ema_params if state.ema_params is not None else state.params
-        loss_fn = _loss_from_batch(model, cfg, p, state.batch_stats, batch, train=False)
+        loss_fn = _loss_from_batch(
+            model, cfg, p, state.batch_stats, batch, train=False,
+            image_cache=image_cache,
+        )
         loss, (aux, _) = loss_fn(p)
         return {"loss": loss, "loss_items": aux}
 

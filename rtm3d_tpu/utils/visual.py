@@ -27,24 +27,48 @@ def draw_bbox2d(img, bboxes, classes=None, scores=None, names=None):
     return img
 
 
-def draw_bbox3d_from_vertices(img, verts, color=(0, 255, 255)):
-    """verts: (8, 2) projected corners in the reference sign order."""
+def draw_bbox3d_from_vertices(
+    img, verts, color=(0, 255, 255), thickness=1, fill_front=False, label=None
+):
+    """verts: (8, 2) projected corners in the reference sign order.
+
+    fill_front paints the front face (corners 0,1,3,2) translucently —
+    0.7 x image + 0.3 x fill, the reference's blend (visual_utils.py:
+    cv_draw_bbox_3d front_mark/rate). label draws a filled text tag at the
+    box's top-left projected corner."""
     v = np.asarray(verts).astype(int)
+    if fill_front:
+        overlay = img.copy()
+        cv2.fillPoly(overlay, [v[[0, 1, 3, 2]]], color)
+        cv2.addWeighted(img, 0.7, overlay, 0.3, 0.0, dst=img)
     for i in range(len(OUTLINE) - 1):
         a, b = OUTLINE[i], OUTLINE[i + 1]
-        cv2.line(img, tuple(v[a]), tuple(v[b]), color, 1)
+        cv2.line(img, tuple(v[a]), tuple(v[b]), color, thickness)
+    if label:
+        tl = max(thickness, 1)
+        t_size = cv2.getTextSize(label, 0, fontScale=tl / 3, thickness=tl)[0]
+        c1 = (int(v[:, 0].min()), int(v[:, 1].min()))
+        c2 = (c1[0] + t_size[0], c1[1] - t_size[1] - 3)
+        cv2.rectangle(img, c1, c2, color, -1, cv2.LINE_AA)
+        cv2.putText(
+            img, label, (c1[0], c1[1] - 2), 0, tl / 3, (225, 255, 255),
+            thickness=tl, lineType=cv2.LINE_AA,
+        )
     return img
 
 
-def draw_bbox3d(img, dim, loc, ry, K, color=(0, 255, 255), bottom_center=False):
+def draw_bbox3d(
+    img, dim, loc, ry, K, color=(0, 255, 255), bottom_center=False, **kw
+):
     """Project (dim, loc, ry) through K and draw (visual_utils.py:60-73).
-    Pass bottom_center=True for KITTI-convention locations."""
+    Pass bottom_center=True for KITTI-convention locations. Extra kwargs
+    (fill_front, label, thickness) forward to draw_bbox3d_from_vertices."""
     pts = corners_3d(
         np.asarray(dim)[None], np.asarray(loc)[None], np.asarray([ry]), bottom_center
     )[0]
     proj = K @ pts
     uv = (proj[:2] / np.maximum(proj[2:3], 1e-6)).T[:8]
-    return draw_bbox3d_from_vertices(img, uv, color)
+    return draw_bbox3d_from_vertices(img, uv, color, **kw)
 
 
 def draw_birdview(boxes, img_size=400, max_range=50.0, gts=None):
@@ -82,3 +106,44 @@ def denormalize(img, mean, std):
     """Invert the Normalize transform for display (detect.py:50-52)."""
     out = (img * np.asarray(std) + np.asarray(mean)) * 255.0
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def compose_detection_panel(base_img, det, bi, K, names, gt=None):
+    """Three-row comparison panel, half-resized — the reference detect
+    display (detect.py:64-104: src / src_vertex / src_vertex_regress
+    stacked with np.concatenate then cv2.resize //2):
+
+      row 1: main keypoints + labelled 2D boxes
+      row 2: solver 3D boxes (translucent front face + class:score tag),
+             with ground-truth boxes underneath in gray when ``gt`` is
+             given (dim, loc, ry) KITTI bottom-center tuples
+      row 3: 3D boxes drawn directly from the regressed vertex projections
+    """
+    acc = np.asarray(det["accepted"][bi])
+    idx = np.where(acc)[0]
+    row1, row2, row3 = base_img.copy(), base_img.copy(), base_img.copy()
+
+    if len(idx):
+        draw_bbox2d(
+            row1, det["bbox2d"][bi][idx], det["cls"][bi][idx],
+            det["scores"][bi][idx], names,
+        )
+        draw_keypoints(row1, det["m_proj"][bi][idx])
+    if gt is not None:
+        for dim, loc, ry in gt:
+            draw_bbox3d(row2, dim, loc, ry, K, color=(128, 128, 128),
+                        bottom_center=True)
+    for i in idx:
+        cls_i = int(det["cls"][bi][i])
+        color = _COLORS[cls_i % 3]
+        label = f"{names[cls_i]}:{float(det['scores'][bi][i]):.2f}"
+        draw_bbox3d(
+            row2, det["dim"][bi][i], det["loc"][bi][i], det["ry"][bi][i], K,
+            color=color, fill_front=True, label=label, thickness=2,
+        )
+        draw_bbox3d_from_vertices(
+            row3, det["v_proj"][bi][i], color=color, fill_front=True,
+            thickness=2, label=names[cls_i],
+        )
+    panel = np.concatenate([row1, row2, row3], axis=0)
+    return cv2.resize(panel, (panel.shape[1] // 2, panel.shape[0] // 2))

@@ -107,3 +107,36 @@ def test_raw_mode_detect_cli(kitti_root, tmp_path):
     import os
 
     assert os.listdir(out)
+
+
+def test_device_data_cache_matches_direct_images(kitti_root):
+    """TPU.DEVICE_DATA_CACHE: samples carry image_idx, the step gathers
+    frames from the HBM-resident cache — bit-identical losses to shipping
+    the pixels per batch."""
+    from rtm3d_tpu.train.step import make_train_step
+
+    cfg = _cfg()
+    ds_img = create_dataset(kitti_root, cfg, is_training=True, split="train")
+    cfg_c = _cfg()
+    cfg_c.TPU.DEVICE_DATA_CACHE = True
+    ds_idx = create_dataset(kitti_root, cfg_c, is_training=True, split="train")
+    assert ds_idx.device_cache
+
+    cache = jax.device_put(ds_idx.canvas_array())
+    dl_img = DataLoader(ds_img, 2, shuffle=False, seed=5, num_shards=1, shard_index=0)
+    dl_idx = DataLoader(ds_idx, 2, shuffle=False, seed=5, num_shards=1, shard_index=0)
+    b_img = next(iter(dl_img))
+    b_idx = next(iter(dl_idx))
+    assert "image" not in b_idx and b_idx["image_idx"].shape == (2,)
+    np.testing.assert_array_equal(b_img["warp"], b_idx["warp"])
+
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, variables["params"])
+    step = make_train_step(cfg=cfg, model=model, tx=tx)
+    keys = ("labels", "warp", "border", "photo")
+    s1, m1 = step(TrainState.create(variables, tx),
+                  {**{k: b_img[k] for k in keys}, "image": b_img["image"]})
+    s2, m2 = step(TrainState.create(variables, tx),
+                  {**{k: b_idx[k] for k in keys}, "image_idx": b_idx["image_idx"]},
+                  cache)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)

@@ -94,3 +94,34 @@ def test_resume_from_checkpoint(workdir):
     )
     # trained 2 epochs before; resume runs exactly 1 more
     assert int(np.asarray(state.step)) >= 2
+
+
+def test_detect_cli_saves_vis_panels(workdir):
+    """--save-vis writes the drawn frame, the 3-row gt/pred comparison panel
+    (reference detect.py:64-104 stacked display) and the BEV view."""
+    import cv2
+
+    from rtm3d_tpu.cli.detect import main as detect_main
+
+    wdir = os.path.join(workdir["root"], "weights", "RESNET-18")
+    vis = os.path.join(workdir["root"], "vis")
+    detect_main(
+        [
+            "--model-config", workdir["cfg"],
+            "--data-path", workdir["data"],
+            "--split", "test",
+            "--out-dir", os.path.join(workdir["root"], "results_vis"),
+            "--save-vis", vis,
+            "--checkpoint", os.path.join(wdir, "model_best.msgpack"),
+            "--batch-size", "2",
+        ]
+    )
+    with open(os.path.join(workdir["data"], "ImageSets", "test.txt")) as f:
+        names = f.read().splitlines()
+    for n in names:
+        for suffix in ("", "_panel", "_bev"):
+            assert os.path.exists(os.path.join(vis, f"{n}{suffix}.png")), (n, suffix)
+    panel = cv2.imread(os.path.join(vis, f"{names[0]}_panel.png"))
+    frame = cv2.imread(os.path.join(vis, f"{names[0]}.png"))
+    assert panel.shape[0] == frame.shape[0] * 3 // 2  # 3 rows, half-resized
+    assert panel.shape[1] == frame.shape[1] // 2
