@@ -22,6 +22,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# persistent compilation cache: repeat suite runs skip the expensive CPU
+# compiles of the model-sized programs (a separate cache dir from the TPU
+# one — entries are keyed by backend, this just avoids mixing)
+from rtm3d_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.expanduser("~/.cache/rtm3d_tpu_xla_tests"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

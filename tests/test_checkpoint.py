@@ -165,11 +165,17 @@ def test_import_torch_resnet18_forward_parity(rng):
         np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-3)
 
 
+def _tiny_state():
+    """Retention/pointer logic is model-agnostic — a toy pytree keeps these
+    tests off the expensive model-compile path (suite wall-time)."""
+    import optax
+
+    variables = {"params": {"w": jnp.zeros((4, 4))}, "batch_stats": {}}
+    return TrainState.create(variables, optax.sgd(0.1))
+
+
 def test_checkpoint_retention(tmp_path):
-    cfg = small_cfg()
-    _, variables = init_model(cfg, jax.random.PRNGKey(0))
-    tx, _ = build_optimizer(cfg, variables["params"])
-    state = TrainState.create(variables, tx)
+    state = _tiny_state()
     cp = CheckPointer(str(tmp_path), max_to_keep=3)
     for e in range(6):
         cp.save(f"model_{e:07d}", state, epoch=e)
@@ -186,14 +192,11 @@ def test_checkpoint_retention(tmp_path):
 
 def test_orbax_roundtrip(tmp_path):
     pytest.importorskip("orbax.checkpoint")
-    cfg = small_cfg()
-    _, variables = init_model(cfg, jax.random.PRNGKey(0))
-    tx, _ = build_optimizer(cfg, variables["params"])
-    state = TrainState.create(variables, tx)
+    state = _tiny_state()
     cp = CheckPointer(str(tmp_path), use_orbax=True)
     path = cp.save("model_0000002", state, epoch=2, min_loss=0.5)
     assert os.path.isdir(path)
-    loaded, meta = cp.load(TrainState.create(variables, tx), use_latest=True)
+    loaded, meta = cp.load(_tiny_state(), use_latest=True)
     assert int(meta["epoch"]) == 2
     assert float(meta["min_loss"]) == pytest.approx(0.5)
     for a, b in zip(
