@@ -34,7 +34,7 @@ def workdir(tmp_path_factory):
         "TRAINING": {"WEIGHTS": os.path.join(str(root), "weights"), "LOGDIR": os.path.join(str(root), "logs"), "CHECKPOINT_MODE": "start"},
         "SOLVER": {
             "BASE_LR": 0.001,
-            "MAX_EPOCH": 2,
+            "MAX_EPOCH": 1,
             "WARMUP_ITERS": 2,
             "STEPS": "(1000, 2000)",
         },
@@ -88,11 +88,11 @@ def test_resume_from_checkpoint(workdir):
     state = main(
         [
             "--model-config", workdir["cfg"],
-            "--num-epochs", "3",
+            "--num-epochs", "2",
             "--set", "TRAINING.CHECKPOINT_MODE", "resume",
         ]
     )
-    # trained 2 epochs before; resume runs exactly 1 more
+    # trained 1 epoch before; resume runs exactly 1 more
     assert int(np.asarray(state.step)) >= 2
 
 

@@ -28,10 +28,11 @@ def test_mesh_has_8_devices():
 
 def test_sharded_train_step_matches_single_device(rng):
     cfg = small_cfg()
+    cfg.INPUT_SIZE = (32, 32)  # smallest /32 shape: psum parity, not FLOPs
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     tx, _ = build_optimizer(cfg, variables["params"])
 
-    batch = synth_batch(rng, B=8)
+    batch = synth_batch(rng, B=8, hw=(32, 32))
 
     # single-device run
     state1 = TrainState.create(variables, tx)
@@ -57,12 +58,13 @@ def test_sharded_train_step_matches_single_device(rng):
 def test_spatial_mesh_compiles(rng):
     """data x spatial mesh: XLA shards conv spatially with halo exchange."""
     cfg = small_cfg()
+    cfg.INPUT_SIZE = (64, 32)  # W x H: height still splits 2-way
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     tx, _ = build_optimizer(cfg, variables["params"])
     mesh = create_mesh(axes=("data", "spatial"), shape=(4, 2))
     state = TrainState.create(variables, tx)
     state = replicate_state(mesh, state)
-    batch = shard_batch(mesh, synth_batch(rng, B=4))
+    batch = shard_batch(mesh, synth_batch(rng, B=4, hw=(32, 64)))
     step = make_train_step(model, cfg, tx)
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
