@@ -28,9 +28,20 @@ def load_library() -> Optional[ctypes.CDLL]:
     if _TRIED:
         return _LIB
     _TRIED = True
+    default = os.path.join(_repo_root(), "native", "libpreproc.so")
+    if not os.path.exists(default) and os.path.exists(
+        os.path.join(_repo_root(), "native", "Makefile")
+    ):
+        # build artifacts are not tracked in git — build quietly on first use
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C", os.path.join(_repo_root(), "native"), "libpreproc.so"],
+            capture_output=True,
+        )
     candidates = [
         os.environ.get("RTM3D_PREPROC_LIB", ""),
-        os.path.join(_repo_root(), "native", "libpreproc.so"),
+        default,
     ]
     for path in candidates:
         if path and os.path.exists(path):

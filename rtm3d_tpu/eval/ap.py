@@ -173,6 +173,16 @@ def _geom_lib() -> Optional[ctypes.CDLL]:
     path = os.environ.get(
         "RTM3D_GEOMETRY_LIB", os.path.join(root, "native", "libgeometry.so")
     )
+    if not os.path.exists(path) and os.path.exists(
+        os.path.join(root, "native", "Makefile")
+    ):
+        # build artifacts are not tracked in git — build quietly on first use
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C", os.path.join(root, "native"), "libgeometry.so"],
+            capture_output=True,
+        )
     if os.path.exists(path):
         try:
             lib = ctypes.CDLL(path)
