@@ -143,29 +143,49 @@ def _lm_kernel(uv_ref, x0_ref, kp_ref, x_out_ref, cost_out_ref, *, iters: int, l
     cost_out_ref[...] = reproj  # acceptance stays reprojection-only
 
 
+# Lane-block size per grid step. The kernel's VMEM footprint (inputs +
+# Jacobian temporaries + the 8x8xM normal-equation entries) is linear in the
+# block width; 2048 lanes fits comfortably under the 16 MB scoped-VMEM limit
+# (an ungridded call OOMs compile-time at ~6400 lanes), and the whole solve
+# is <0.1 ms so extra grid steps cost nothing.
+BLOCK = 2048
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "interpret", "prior_weight"))
 def lm_solve_pallas(uv, x0, Kp, iters: int = 40, lam0: float = 1e-3, interpret: bool = False, prior_weight: float = 0.0):
     """uv: (16, M); x0: (8, M); Kp: (4, M). M padded to a lane multiple by
     the caller. Returns (x (8, M), cost (1, M))."""
     M = uv.shape[1]
+    blk = min(BLOCK, pad_to_lanes(M))
+    Mp = ((M + blk - 1) // blk) * blk
+    pad = Mp - M
+    if pad:
+        # zero padding is solver-safe: fx=0 and the damped Gauss-Jordan keep
+        # padded lanes finite; the caller slices them away below
+        uv = jnp.pad(uv, ((0, 0), (0, pad)))
+        x0 = jnp.pad(x0, ((0, 0), (0, pad)))
+        Kp = jnp.pad(Kp, ((0, 0), (0, pad)))
     kernel = functools.partial(_lm_kernel, iters=iters, lam0=lam0, prior_weight=prior_weight)
     x, cost = pl.pallas_call(
         kernel,
+        grid=(Mp // blk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((8, M), jnp.float32),
-            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((8, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Mp), jnp.float32),
         ),
         interpret=interpret,
     )(uv.astype(jnp.float32), x0.astype(jnp.float32), Kp.astype(jnp.float32))
+    if pad:
+        x, cost = x[:, :M], cost[:, :M]
     return x, cost
 
 

@@ -149,3 +149,42 @@ def test_solve_bbox3d_pallas_path_matches_jnp(rng):
         lm.lm_solve_pallas = orig
     assert float(a["cost"][0]) < 0.1 and float(b["cost"][0]) < 0.1
     assert np.allclose(float(a["ry"][0]), float(b["ry"][0]), atol=0.02)
+
+
+def test_pallas_lm_grid_blocks_large_m(rng):
+    """M beyond one VMEM block must grid over lane blocks (an ungridded call
+    OOMs scoped VMEM at ~6400 lanes on a real chip) and must return the same
+    per-lane solution as a small-M call on identical data."""
+    import jax.numpy as jnp
+
+    import rtm3d_tpu.ops.lm_solver as lm
+
+    M_small, reps = 128, 4
+    blk = 128  # force several grid steps without a 2048-wide interpret run
+    uv = (rng.rand(16, M_small).astype(np.float32)) * 300
+    x0 = np.tile(
+        np.array([0, 1, 3.884, 1.526, 1.629, 0, -0.5, 20.0], np.float32)[:, None],
+        (1, M_small),
+    )
+    kp = np.tile(
+        np.array([721.5, 721.5, 609.6, 172.9], np.float32)[:, None], (1, M_small)
+    )
+    x_ref, c_ref = lm.lm_solve_pallas(
+        jnp.asarray(uv), jnp.asarray(x0), jnp.asarray(kp), iters=10, interpret=True
+    )
+    big = lambda a: jnp.asarray(np.tile(a, (1, reps))[:, : M_small * reps - 37])
+    orig_block = lm.BLOCK
+    lm.BLOCK = blk
+    try:
+        x_big, c_big = lm.lm_solve_pallas(
+            big(uv), big(x0), big(kp), iters=10, interpret=True
+        )
+    finally:
+        lm.BLOCK = orig_block
+    assert x_big.shape == (8, M_small * reps - 37)  # non-multiple M: pad+slice
+    np.testing.assert_allclose(
+        np.asarray(x_big)[:, :M_small], np.asarray(x_ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_big)[0, :M_small], np.asarray(c_ref)[0], rtol=1e-5, atol=1e-5
+    )
