@@ -206,6 +206,9 @@ def default_config() -> Config:
         PARAM_DTYPE="float32",
         NORMALIZE_ON_DEVICE=True,  # loader ships uint8; step normalises on TPU
         REMAT=False,              # jax.checkpoint the backbone to save HBM
+        # exact space-to-depth reparameterisation of DLA's stem/level0/level1
+        # (low-channel full-res convs underfill the MXU; see layers.py)
+        S2D_STEM=True,
         DONATE=True,              # donate train-state buffers across steps
         # device-resident dataset (requires DEVICE_WARP): raw uint8 frames
         # live in HBM after a one-time transfer; each step gathers its batch

@@ -15,7 +15,18 @@ from typing import Sequence
 
 from flax import linen as nn
 
-from rtm3d_tpu.nn.layers import BN_EPS, BN_MOMENTUM, Conv, ConvLevel, MaxPool
+from rtm3d_tpu.nn.layers import (
+    BN_EPS,
+    BN_MOMENTUM,
+    Conv,
+    ConvLevel,
+    MaxPool,
+    S2DConv,
+    S2DConvLevel,
+    depth_to_space,
+    grouped_phase_bn,
+    space_to_depth,
+)
 from rtm3d_tpu.nn.spec import ShapeSpec
 
 DLA34_LEVELS = [1, 1, 1, 2, 2, 1]
@@ -130,6 +141,10 @@ class DLABase(nn.Module):
     levels: Sequence[int] = tuple(DLA34_LEVELS)
     channels: Sequence[int] = tuple(DLA34_CHANNELS)
     residual_root: bool = False
+    # exact space-to-depth reparameterisation of stem/level0/level1 (the
+    # low-channel full-res convs that underfill the MXU); numerically
+    # equivalent to the plain path — see layers.s2d_conv_kernel
+    s2d_stem: bool = True
 
     @property
     def kfpn_spec(self):
@@ -142,17 +157,43 @@ class DLABase(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         ch = self.channels
-        x = Conv(ch[0], 7, 1, name="base_conv")(x)
-        x = nn.relu(_bn("base_norm", train)(x))
-
-        x = ConvLevel(ch[0], 3, self.levels[0], name="level0")(x, train)
         outs = []
-        if "level0" in self.kfns:
-            outs.append(x)
-        # quirk parity: level1 uses levels[0] convs (dla.py:275-279)
-        x = ConvLevel(ch[1], 3, self.levels[0], stride=2, name="level1")(x, train)
-        if "level1" in self.kfns:
-            outs.append(x)
+        # the s2d path requires single-conv levels (true for DLA-34) and
+        # block-divisible input. Train-only: it wins where the low-channel
+        # convs are worst (weight gradients: +11% step throughput at B=32),
+        # while inference convs are already decent and the transformed
+        # level1 is slower there — measured v5e detect 361 plain vs 347 s2d
+        s2d = (
+            self.s2d_stem
+            and train
+            and self.levels[0] == 1
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
+        if s2d:
+            b = 2
+            x = space_to_depth(x, b)
+            x = S2DConv(ch[0], 7, 1, b, name="base_conv")(x)
+            x = nn.relu(grouped_phase_bn(x, b * b, train, name="base_norm"))
+            x = S2DConvLevel(ch[0], 3, 1, b, name="level0")(x, train)
+            if "level0" in self.kfns:
+                outs.append(depth_to_space(x, b))
+            # quirk parity: level1 uses levels[0] convs (dla.py:275-279);
+            # stride 2 consumes the s2d grid back to a plain half-res map
+            x = S2DConvLevel(ch[1], 3, 2, b, name="level1")(x, train)
+            if "level1" in self.kfns:
+                outs.append(x)
+        else:
+            x = Conv(ch[0], 7, 1, name="base_conv")(x)
+            x = nn.relu(_bn("base_norm", train)(x))
+
+            x = ConvLevel(ch[0], 3, self.levels[0], name="level0")(x, train)
+            if "level0" in self.kfns:
+                outs.append(x)
+            # quirk parity: level1 uses levels[0] convs (dla.py:275-279)
+            x = ConvLevel(ch[1], 3, self.levels[0], stride=2, name="level1")(x, train)
+            if "level1" in self.kfns:
+                outs.append(x)
 
         tree_args = [
             # (level, in_ch, out_ch, level_root)

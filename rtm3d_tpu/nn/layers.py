@@ -137,6 +137,153 @@ class ConvLevel(nn.Module):
         return x
 
 
+def space_to_depth(x, b: int):
+    """(B, H, W, C) -> (B, H/b, W/b, b*b*C); channel layout (py*b+px)*C + c."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // b, b, W // b, b, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // b, W // b, b * b * C)
+
+
+def depth_to_space(x, b: int):
+    """Inverse of :func:`space_to_depth`."""
+    B, Hb, Wb, C = x.shape
+    c = C // (b * b)
+    x = x.reshape(B, Hb, Wb, b, b, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, Hb * b, Wb * b, c)
+
+
+def s2d_conv_kernel(w, b: int, stride: int = 1):
+    """Exact space-to-depth reparameterisation of a torch-SAME-padded conv.
+
+    The stride-1 low-channel convs at the head of DLA-34 (7x7 3->16 stem,
+    3x3 16->16, 3x3 16->32 s2 — reference dla.py:259-279) use <16 of the
+    MXU's 128 contraction/output lanes and run at ~4% of peak. Rewriting
+    them on the space-to-depth grid (block ``b``) multiplies channels by
+    b*b on both sides, which the MXU can actually tile. The transform is a
+    pure reindexing of the same dot products: for full-res output pixel
+    (b*Y+qy, b*X+qx) the tap at full-res row ``stride*qy - o + u`` lives in
+    s2d block-row ``T = floor((stride*qy-o+u)/b)`` at phase ``py`` — so the
+    canonical kernel entry w[u, v] is scattered to
+    wp[T-Tmin, S-Smin, (py*b+px)*cin + ci, (qy*c+qx)*cout + co].
+
+    w: (k, k, cin, cout) canonical HWIO weights (padding (k-1)//2, the torch
+    convention used by :class:`Conv`). Returns ``(wp, padding)`` for a
+    stride-1 NHWC conv on the s2d-b input producing the s2d-c output,
+    c = b // stride (c == 1 -> plain full-channel output at 1/b res).
+    Zero-padding equivalence holds because block-level zero rows only feed
+    kernel entries that stay zero (no valid u maps to them).
+    """
+    k, _, cin, cout = w.shape
+    o = (k - 1) // 2
+    assert b % stride == 0, (b, stride)
+    c = b // stride
+    offs = [stride * q - o + u for q in range(c) for u in range(k)]
+    tmin = min(p // b for p in offs)
+    tmax = max(p // b for p in offs)
+    kp = tmax - tmin + 1
+    wp = jnp.zeros((kp, kp, b * b * cin, c * c * cout), w.dtype)
+    for qy in range(c):
+        for u in range(k):
+            T, py = (stride * qy - o + u) // b, (stride * qy - o + u) % b
+            for qx in range(c):
+                for v in range(k):
+                    S, px = (stride * qx - o + v) // b, (stride * qx - o + v) % b
+                    ci0 = (py * b + px) * cin
+                    co0 = (qy * c + qx) * cout
+                    wp = wp.at[
+                        T - tmin, S - tmin, ci0 : ci0 + cin, co0 : co0 + cout
+                    ].add(w[u, v])
+    padding = ((-tmin, tmax), (-tmin, tmax))
+    return wp, padding
+
+
+class _ConvKernel(nn.Module):
+    """Declares the canonical conv kernel param (same name/shape/init as
+    :class:`Conv`'s inner ``nn.Conv``) without applying it — the s2d modules
+    transform it first, keeping checkpoints/import/EMA layout-identical."""
+
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", xavier_conv_init, tuple(self.shape))
+
+
+class S2DConv(nn.Module):
+    """Drop-in for :class:`Conv` on a space-to-depth input. Param tree is
+    identical to Conv's (child scope ``conv`` holding ``kernel`` of the
+    canonical full-res shape)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    block: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        b, k = self.block, self.kernel_size
+        cin = x.shape[-1] // (b * b)
+        w = _ConvKernel((k, k, cin, self.features), name="conv")()
+        wp, padding = s2d_conv_kernel(w, b, self.stride)
+        return jax.lax.conv_general_dilated(
+            x,
+            wp.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+def grouped_phase_bn(x, groups: int, train: bool, name: str = "bn"):
+    """BatchNorm over an s2d map whose channels are ``groups`` phase copies
+    of the canonical channels: reshaping to (..., groups, C) makes flax
+    reduce over the phase axis too, so stats/params keep the canonical (C,)
+    shape — the same population as full-res per-channel BN."""
+    *lead, ch = x.shape
+    c = ch // groups
+    y = x.reshape(*lead, groups, c)
+    y = nn.BatchNorm(
+        use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, name=name
+    )(y)
+    return y.reshape(*lead, ch)
+
+
+class S2DConvBNReLU(nn.Module):
+    """ConvBNReLU twin on the s2d grid (same param tree: ``conv``/``bn``)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    block: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = self.block
+        x = S2DConv(self.features, self.kernel_size, self.stride, b, name="conv")(x)
+        out_groups = (b // self.stride) ** 2
+        x = grouped_phase_bn(x, max(out_groups, 1), train, name="bn")
+        return nn.relu(x)
+
+
+class S2DConvLevel(nn.Module):
+    """Single-conv :class:`ConvLevel` twin on the s2d grid — same param tree
+    (``layer0`` holding ``conv``/``bn``)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    block: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return S2DConvBNReLU(
+            self.out_channels, self.kernel_size, self.stride, self.block,
+            name="layer0",
+        )(x, train)
+
+
 def bilinear_kernel_1d(k: int) -> np.ndarray:
     """The reference's separable bilinear fill (utils/torch_utils.py:53-68)."""
     f = math.ceil(k / 2)

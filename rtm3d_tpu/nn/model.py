@@ -35,11 +35,14 @@ class RTM3D(nn.Module):
     header_num_conv: int = 2
     compute_dtype: str = "float32"
     remat: bool = False
+    s2d_stem: bool = True
 
     def _backbone(self):
         name = self.backbone_name.upper()
         if "DLA-34" in name:
-            return DLABase(kfns=tuple(self.kfns), name="backbone")
+            return DLABase(
+                kfns=tuple(self.kfns), s2d_stem=self.s2d_stem, name="backbone"
+            )
         if "RESNET" in name:
             depth = int(name.split("-")[-1])
             return PoseResNet(depth=depth, kfns=tuple(self.kfns), name="backbone")
@@ -79,6 +82,7 @@ def create_model(cfg: Config) -> RTM3D:
         header_num_conv=cfg.MODEL.HEADER_NUM_CONV,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         remat=cfg.TPU.REMAT,
+        s2d_stem=bool(cfg.TPU.get("S2D_STEM", True)),
     )
 
 
