@@ -41,6 +41,18 @@ def parse_args(argv=None):
     p.add_argument("--save-vis", type=str, default=None)
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument(
+        "--int8", action="store_true",
+        help="int8 serving path (post-training quantized convs, nn/quant.py)",
+    )
+    p.add_argument(
+        "--calib-batches", type=int, default=2,
+        help="batches swept for int8 activation calibration (absmax)",
+    )
+    p.add_argument(
+        "--calib-scales", type=str, default=None,
+        help="JSON file of saved activation scales (skips calibration)",
+    )
     p.add_argument("--set", nargs="*", default=[])
     return p.parse_args(argv)
 
@@ -101,7 +113,10 @@ def main(argv=None):
     ckpt = args.checkpoint or cfg.DETECTOR.CHECKPOINT
     variables = load_variables(cfg, model, ckpt, cfg.INPUT_SIZE)
 
-    detect = make_detect_step(model, cfg, with_3d=True)
+    apply_fn = None
+    if args.int8:
+        apply_fn = _int8_apply_fn(args, cfg, model, variables)
+    detect = make_detect_step(model, cfg, with_3d=True, apply_fn=apply_fn)
     loader = DataLoader(
         ds,
         min(args.batch_size, len(ds)),
@@ -162,6 +177,48 @@ def main(argv=None):
                 _save_vis(args, cfg, batch, det, bi, name)
         n_img += num_valid
     print(f"detect: {n_img} images in {t_total:.2f}s ({n_img / max(t_total, 1e-9):.1f} img/s), results -> {args.out_dir}")
+
+
+def _int8_apply_fn(args, cfg, model, variables):
+    """Build the quantized apply: load saved activation scales, or sweep
+    ``--calib-batches`` test-split batches through the same normalisation
+    the detect step applies."""
+    from rtm3d_tpu.nn.quant import (
+        calibrate_act_scales,
+        load_act_scales,
+        quantized_apply,
+        save_act_scales,
+    )
+
+    if args.calib_scales and os.path.exists(args.calib_scales):
+        scales = load_act_scales(args.calib_scales)
+        print(f"int8: loaded {len(scales)} activation scales from {args.calib_scales}")
+    else:
+        from rtm3d_tpu.train.step import normalize_images, prepare_images
+
+        ds = create_dataset(
+            cfg.DATASET.PATH, cfg, is_training=False, split=args.split
+        )
+        loader = DataLoader(
+            ds, min(args.batch_size, len(ds)), shuffle=False, drop_last=False,
+            num_shards=1, shard_index=0, pad_final=True,
+        )
+        calib = []
+        for i, batch in enumerate(loader):
+            if i >= max(args.calib_batches, 1):
+                break
+            if "warp" in batch:
+                calib.append(prepare_images(
+                    {k: jnp.asarray(v) for k, v in batch.items()
+                     if k in ("image", "warp", "border")}, cfg))
+            else:
+                calib.append(normalize_images(jnp.asarray(batch["image"]), cfg))
+        scales = calibrate_act_scales(model, variables, calib)
+        print(f"int8: calibrated {len(scales)} conv activation scales "
+              f"over {len(calib)} batches")
+        if args.calib_scales:
+            save_act_scales(args.calib_scales, scales)
+    return quantized_apply(model, scales)
 
 
 def _save_vis(args, cfg, batch, det, bi, name):

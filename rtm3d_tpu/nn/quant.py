@@ -1,0 +1,118 @@
+"""Post-training int8 quantization for the serving path (TPU-native extra;
+no reference counterpart — the reference's promised export_onnx.py, its one
+deployment artifact, does not even exist in its tree).
+
+All ``layers.Conv`` instances (backbone, KFPN 1x1s, header branches — ~98%
+of model FLOPs) execute as int8 x int8 -> int32 on the MXU, which runs at
+~2x the bf16 peak on v5e. Scheme:
+
+- weights: symmetric per-output-channel scales (absmax / 127), quantized
+  on the fly from the fp32 master params — checkpoints are untouched;
+- activations: symmetric per-tensor scales from an absmax calibration sweep
+  over representative batches (run once, save as JSON);
+- BN / ReLU / UpSample (transposed conv) / softmax fusion / decode / 3D
+  solver stay in float: they are <2% of FLOPs and carry the numerics that
+  matter (running stats, sub-pixel offsets).
+
+Implementation: ``flax.linen.intercept_methods`` swaps Conv.__call__ for the
+quantized kernel at apply time — zero changes to the model modules, and the
+same ``variables`` serve fp32, bf16 and int8 paths.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rtm3d_tpu.nn.layers import Conv
+
+
+def _key(module: nn.Module) -> str:
+    return "/".join(module.path)
+
+
+def calibrate_act_scales(
+    model, variables, batches: Iterable[jnp.ndarray]
+) -> Dict[str, float]:
+    """Absmax activation calibration: run eager (un-jitted) forwards over
+    ``batches`` (arrays shaped like model input, already normalised the way
+    the detect path feeds the model) and record the max |input| per Conv."""
+    stats: Dict[str, float] = {}
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if isinstance(m, Conv) and context.method_name == "__call__":
+            k = _key(m)
+            a = float(jnp.max(jnp.abs(args[0].astype(jnp.float32))))
+            stats[k] = max(stats.get(k, 0.0), a)
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        for b in batches:
+            model.apply(variables, b)
+    return stats
+
+
+def save_act_scales(path: str, scales: Dict[str, float]) -> None:
+    with open(path, "w") as f:
+        json.dump(scales, f, indent=1, sort_keys=True)
+
+
+def load_act_scales(path: str) -> Dict[str, float]:
+    with open(path) as f:
+        return {k: float(v) for k, v in json.load(f).items()}
+
+
+def _quantized_conv(m: Conv, x, s_act: float):
+    """int8 twin of layers.Conv.__call__ on the same params."""
+    params = m.variables["params"]["conv"]
+    w = params["kernel"].astype(jnp.float32)
+    k = m.kernel_size
+    pad = m.padding if m.padding is not None else (k - 1) * m.dilation // 2
+
+    s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)  # (cout,)
+    s_x = max(s_act / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127).astype(jnp.int8)
+    wq = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        (m.stride, m.stride),
+        [(pad, pad), (pad, pad)],
+        rhs_dilation=(m.dilation, m.dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (s_w * s_x)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quantized_apply(model, act_scales: Dict[str, float]) -> Callable:
+    """Returns ``fn(variables, images, train=False)`` — model.apply with
+    every calibrated Conv running int8. Scales are plain floats, so the
+    returned fn jits cleanly (they are compile-time constants).
+
+    Convs missing from ``act_scales`` (e.g. a config with extra layers added
+    after calibration) fall back to the float path.
+    """
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if isinstance(m, Conv) and context.method_name == "__call__":
+            s = act_scales.get(_key(m), 0.0)
+            if s > 0.0:
+                return _quantized_conv(m, args[0], s)
+        return next_fun(*args, **kwargs)
+
+    def fn(variables, images, train: bool = False):
+        del train  # serving path only; every model's __call__ defaults eval
+        with nn.intercept_methods(interceptor):
+            return model.apply(variables, images)
+
+    return fn

@@ -223,13 +223,18 @@ def make_eval_loss_step(model, cfg: Config) -> Callable:
     return jax.jit(eval_step)
 
 
-def make_detect_step(model, cfg: Config, with_3d: bool = True) -> Callable:
+def make_detect_step(
+    model, cfg: Config, with_3d: bool = True, apply_fn: Callable | None = None
+) -> Callable:
     """detect_step(variables, images, K) -> detections dict.
 
     K: (B, 3, 3) per-image intrinsics (already transformed to the padded
     input frame). Returns fixed (B, TOPK) arrays; `accepted` combines the
     score threshold with the 3D solver residual acceptance
     (model_utils.py:298).
+
+    apply_fn: optional replacement for ``model.apply`` with the same
+    signature — e.g. ``nn.quant.quantized_apply`` for int8 serving.
     """
     dim_ref = jnp.asarray(cfg.DETECTOR.dim_ref, jnp.float32)
     ref_loc = jnp.asarray(cfg.DETECTOR.REF_LOC, jnp.float32)
@@ -261,7 +266,7 @@ def make_detect_step(model, cfg: Config, with_3d: bool = True) -> Callable:
                 else p,
                 variables,
             )
-        logits = model.apply(variables, images, train=False)
+        logits = (apply_fn or model.apply)(variables, images, train=False)
         det = decode_detections(
             logits,
             score_thresh=thresh,
