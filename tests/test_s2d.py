@@ -71,9 +71,12 @@ def test_s2d_kernel_stride2_k3(rng):
 def _dla_variants(rng_np, train):
     from rtm3d_tpu.nn.dla import DLABase
 
+    # narrow channels: the equivalence is structural, not width-dependent,
+    # and the 1-core host pays dearly for tracing DLA-34-sized programs
+    ch = (4, 8, 12, 16, 24, 32)
     x = jnp.asarray(rng_np.rand(2, 32, 64, 3).astype(np.float32))
-    plain = DLABase(kfns=("level0", "level1", "level2"), s2d_stem=False)
-    s2d = DLABase(kfns=("level0", "level1", "level2"), s2d_stem=True)
+    plain = DLABase(kfns=("level0", "level1", "level2"), channels=ch, s2d_stem=False)
+    s2d = DLABase(kfns=("level0", "level1", "level2"), channels=ch, s2d_stem=True)
     variables = plain.init(jax.random.PRNGKey(7), x, train=False)
     return plain, s2d, variables, x
 
