@@ -117,6 +117,19 @@ def main(argv=None):
     if args.int8:
         apply_fn = _int8_apply_fn(args, cfg, model, variables)
     detect = make_detect_step(model, cfg, with_3d=True, apply_fn=apply_fn)
+
+    # multi-chip: shard the batch over the data axis, replicate the params
+    # (data-parallel serving; the reference has no multi-GPU inference path)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from rtm3d_tpu.parallel.mesh import (
+            create_mesh_for_batch,
+            replicate_state,
+        )
+
+        mesh = create_mesh_for_batch(cfg, min(args.batch_size, len(ds)))
+        variables = replicate_state(mesh, variables)
+        print(f"detect: sharding batches over {mesh.devices.size} devices")
     loader = DataLoader(
         ds,
         min(args.batch_size, len(ds)),
@@ -137,16 +150,20 @@ def main(argv=None):
         # valid even for images with empty label files
         Ks = batch["calib"].reshape(-1, 3, 3).astype(np.float32)
         t0 = time.perf_counter()
-        if "warp" in batch:  # device-warp raw mode (TPU.DEVICE_WARP)
-            det = detect(
-                variables,
-                imgs,
-                jnp.asarray(Ks),
-                warp=jnp.asarray(batch["warp"]),
-                border=jnp.asarray(batch["border"]),
+        warp = jnp.asarray(batch["warp"]) if "warp" in batch else None
+        border = jnp.asarray(batch["border"]) if "warp" in batch else None
+        if mesh is not None:
+            from rtm3d_tpu.parallel.mesh import shard_detect_inputs
+
+            imgs, K_dev, warp, border = shard_detect_inputs(
+                mesh, imgs, jnp.asarray(Ks), warp, border
             )
         else:
-            det = detect(variables, imgs, jnp.asarray(Ks))
+            K_dev = jnp.asarray(Ks)
+        if warp is not None:  # device-warp raw mode (TPU.DEVICE_WARP)
+            det = detect(variables, imgs, K_dev, warp=warp, border=border)
+        else:
+            det = detect(variables, imgs, K_dev)
         det = jax.device_get(det)
         t_total += time.perf_counter() - t0
         num_valid = int(batch.get("num_valid", imgs.shape[0]))

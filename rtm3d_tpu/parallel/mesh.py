@@ -108,6 +108,18 @@ def device_batch(mesh: Mesh, batch):
     return shard_batch(mesh, {k: batch[k] for k in DEVICE_BATCH_KEYS if k in batch})
 
 
+def shard_detect_inputs(mesh: Mesh, images, K, warp=None, border=None):
+    """Shard a detect batch over the ``data`` axis (multi-chip data-parallel
+    serving — the inference analogue of the reference's DDP, which has no
+    multi-GPU inference path at all: detect.py iterates images one by one).
+    Returns the tuple of device arrays for ``detect_step``."""
+    sh = NamedSharding(mesh, P("data"))
+    out = [_put(images, sh), _put(K, sh)]
+    for extra in (warp, border):
+        out.append(_put(extra, sh) if extra is not None else None)
+    return tuple(out)
+
+
 def replicate_state(mesh: Mesh, state):
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)

@@ -77,3 +77,49 @@ def test_batch_sharding_layout(rng):
     assert sh.is_equivalent_to(batch_sharding(mesh)["image"], batch["image"].ndim)
     # each device holds 1/8 of the batch
     assert batch["image"].addressable_shards[0].data.shape[0] == 1
+
+
+def test_sharded_detect_matches_single_device(rng):
+    """Data-parallel detect (shard_detect_inputs) must reproduce the
+    single-device detect output exactly — each image is independent, so
+    sharding the batch cannot change any per-image result."""
+    from rtm3d_tpu.parallel.mesh import shard_detect_inputs
+    from rtm3d_tpu.train.step import make_detect_step
+
+    cfg = small_cfg()
+    cfg.INPUT_SIZE = (32, 32)
+    cfg.DETECTOR.TOPK_CANDIDATES = 5
+    cfg.DETECTOR.SCORE_THRESH = 0.0
+    cfg.DETECTOR.SOLVER_ITERS = 5  # compile cost, not solver quality
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    detect = make_detect_step(model, cfg, with_3d=False)
+
+    B = 8
+    imgs = jnp.asarray((rng.rand(B, 32, 32, 3) * 255).astype(np.uint8))
+    K = jnp.asarray(
+        np.tile(np.array([[60.0, 0, 16], [0, 60.0, 16], [0, 0, 1]], np.float32), (B, 1, 1))
+    )
+    ref = jax.device_get(detect(variables, imgs, K))
+
+    mesh = create_mesh(axes=("data",), shape=(-1,))
+    vrep = replicate_state(mesh, variables)
+    imgs_s, K_s, _, _ = shard_detect_inputs(mesh, imgs, K)
+    got = jax.device_get(detect(vrep, imgs_s, K_s))
+
+    assert set(ref) == set(got)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-5, err_msg=k)
+
+    # full path incl. the LM 3D solver: per-image independence holds for the
+    # well-conditioned orientation output; dims/depth sit on the objective's
+    # scale gauge, where 40 LM iterations legitimately amplify fp reduction
+    # -order differences on random-weight candidates (PARITY.md) — the decode
+    # equality above is the strict sharding-correctness check
+    det3 = make_detect_step(model, cfg, with_3d=True)
+    ref3 = jax.device_get(det3(variables, imgs, K))
+    got3 = jax.device_get(det3(vrep, imgs_s, K_s))
+    # solution quality must match; the parameter vectors themselves are not
+    # compared — on unconverged random-weight candidates the LM trajectory
+    # legitimately diverges under fp reduction-order differences
+    np.testing.assert_allclose(got3["cost"], ref3["cost"], rtol=0.05, atol=1e-2)
+    assert np.array_equal(got3["accepted"], ref3["accepted"])
