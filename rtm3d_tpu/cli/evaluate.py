@@ -26,6 +26,8 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--out-dir", type=str, default="./results")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--int8", action="store_true",
+                   help="evaluate the int8 serving path (detect --int8)")
     p.add_argument("--skip-detect", action="store_true")
     p.add_argument("--set", nargs="*", default=[])
     return p.parse_args(argv)
@@ -46,6 +48,8 @@ def main(argv=None):
         ]
         if args.checkpoint:
             det_args += ["--checkpoint", args.checkpoint]
+        if args.int8:
+            det_args += ["--int8"]
         if args.set:
             det_args += ["--set"] + list(args.set)
         detect_cli.main(det_args)

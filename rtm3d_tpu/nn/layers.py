@@ -12,6 +12,7 @@ momentum=0.03 (flax momentum 0.97).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Sequence
 
@@ -176,6 +177,18 @@ def s2d_conv_kernel(w, b: int, stride: int = 1):
     kernel entries that stay zero (no valid u maps to them).
     """
     k, _, cin, cout = w.shape
+    idx, mask, padding = _s2d_gather_plan(k, cin, cout, b, stride)
+    # one gather (scatter-add in the backward) instead of k²·c² update-slices
+    # — the unrolled-scatter formulation made XLA compile times explode on
+    # the train program
+    wp = jnp.where(jnp.asarray(mask), w.reshape(-1)[jnp.asarray(idx)], 0)
+    return wp.astype(w.dtype), padding
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_gather_plan(k: int, cin: int, cout: int, b: int, stride: int):
+    """Static index/mask arrays mapping canonical (k,k,cin,cout) weights onto
+    the s2d kernel layout (see s2d_conv_kernel docstring for the math)."""
     o = (k - 1) // 2
     assert b % stride == 0, (b, stride)
     c = b // stride
@@ -183,7 +196,10 @@ def s2d_conv_kernel(w, b: int, stride: int = 1):
     tmin = min(p // b for p in offs)
     tmax = max(p // b for p in offs)
     kp = tmax - tmin + 1
-    wp = jnp.zeros((kp, kp, b * b * cin, c * c * cout), w.dtype)
+    idx = np.zeros((kp, kp, b * b * cin, c * c * cout), np.int32)
+    mask = np.zeros(idx.shape, bool)
+    ci = np.arange(cin)
+    co = np.arange(cout)
     for qy in range(c):
         for u in range(k):
             T, py = (stride * qy - o + u) // b, (stride * qy - o + u) % b
@@ -192,11 +208,10 @@ def s2d_conv_kernel(w, b: int, stride: int = 1):
                     S, px = (stride * qx - o + v) // b, (stride * qx - o + v) % b
                     ci0 = (py * b + px) * cin
                     co0 = (qy * c + qx) * cout
-                    wp = wp.at[
-                        T - tmin, S - tmin, ci0 : ci0 + cin, co0 : co0 + cout
-                    ].add(w[u, v])
-    padding = ((-tmin, tmax), (-tmin, tmax))
-    return wp, padding
+                    flat = ((u * k + v) * cin + ci[:, None]) * cout + co[None, :]
+                    idx[T - tmin, S - tmin, ci0 : ci0 + cin, co0 : co0 + cout] = flat
+                    mask[T - tmin, S - tmin, ci0 : ci0 + cin, co0 : co0 + cout] = True
+    return idx, mask, ((-tmin, tmax), (-tmin, tmax))
 
 
 class _ConvKernel(nn.Module):
