@@ -143,6 +143,7 @@ def main(argv=None):
 
     names = list(cfg.DATASET.OBJs)
     n_img, t_total = 0, 0.0
+    t_wall = time.perf_counter()
     for batch in loader:
         imgs = jnp.asarray(batch["image"])
         # per-image camera intrinsics, carried independently of the label
@@ -193,7 +194,13 @@ def main(argv=None):
                 # mode the host never materialises it
                 _save_vis(args, cfg, batch, det, bi, name)
         n_img += num_valid
-    print(f"detect: {n_img} images in {t_total:.2f}s ({n_img / max(t_total, 1e-9):.1f} img/s), results -> {args.out_dir}")
+    t_wall = time.perf_counter() - t_wall
+    print(
+        f"detect: {n_img} images, device {t_total:.2f}s "
+        f"({n_img / max(t_total, 1e-9):.1f} img/s), end-to-end {t_wall:.2f}s "
+        f"({n_img / max(t_wall, 1e-9):.1f} img/s incl. load+write), "
+        f"results -> {args.out_dir}"
+    )
 
 
 def _int8_apply_fn(args, cfg, model, variables):

@@ -125,3 +125,24 @@ def test_detect_cli_saves_vis_panels(workdir):
     frame = cv2.imread(os.path.join(vis, f"{names[0]}.png"))
     assert panel.shape[0] == frame.shape[0] * 3 // 2  # 3 rows, half-resized
     assert panel.shape[1] == frame.shape[1] // 2
+
+
+def test_evaluate_cli_int8(workdir):
+    """evaluate --int8 runs the quantized detect path end-to-end and yields
+    the full AP table (the fp-vs-int8 comparison workflow)."""
+    from rtm3d_tpu.cli.evaluate import main as eval_main
+
+    wdir = os.path.join(workdir["root"], "weights", "RESNET-18")
+    out_dir = os.path.join(workdir["root"], "results_int8")
+    results = eval_main(
+        [
+            "--model-config", workdir["cfg"],
+            "--data-path", workdir["data"],
+            "--split", "test",
+            "--checkpoint", os.path.join(wdir, "model_best.msgpack"),
+            "--out-dir", out_dir,
+            "--batch-size", "2",
+            "--int8",
+        ]
+    )
+    assert "Car_3d_moderate" in results

@@ -68,11 +68,16 @@ def bench_step_only(args, cfg, state, step):
     batch = synth_batch(rng, args.batch, H, W, cfg.DATASET.MAX_OBJS)
     state, m = step(state, batch)
     jax.block_until_ready(m["loss"])
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, m = step(state, batch)
     jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / args.iters
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"profile trace -> {args.profile}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -169,6 +174,10 @@ def main():
     ap.add_argument(
         "--no-device-cache", action="store_true",
         help="disable the HBM dataset cache in the e2e bench",
+    )
+    ap.add_argument(
+        "--profile", default="",
+        help="capture an XLA profiler trace of the timed steps to this dir",
     )
     args = ap.parse_args()
 
