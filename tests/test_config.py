@@ -40,3 +40,17 @@ def test_reference_yaml_loads_unchanged():
     assert cfg.DETECTOR.dim_ref[0][0] == pytest.approx(1.52607842)
     # defaults not overridden by the YAML survive
     assert cfg.MODEL.DOWN_SAMPLE == 4.0
+
+
+def test_tpu_tuned_yaml_loads():
+    """The shipped TPU recipe config resolves every key against defaults."""
+    import os
+
+    from rtm3d_tpu.config import load_config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(root, "configs", "rtm3d_dla34_kitti_tpu.yaml"))
+    assert cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+    assert cfg.TPU.DEVICE_WARP and cfg.TPU.DEVICE_DATA_CACHE and cfg.TPU.S2D_STEM
+    assert cfg.BATCH_SIZE == 32 and cfg.num_workers == 4
+    assert cfg.TRAINING.EMA is True
