@@ -16,6 +16,8 @@ reference's pretrained weights (Baidu-pan) and real KITTI are unavailable:
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 
 import jax

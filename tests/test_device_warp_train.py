@@ -109,6 +109,7 @@ def test_raw_mode_detect_cli(kitti_root, tmp_path):
     assert os.listdir(out)
 
 
+@pytest.mark.slow
 def test_device_data_cache_matches_direct_images(kitti_root):
     """TPU.DEVICE_DATA_CACHE: samples carry image_idx, the step gathers
     frames from the HBM-resident cache — bit-identical losses to shipping

@@ -46,6 +46,7 @@ def workdir(tmp_path_factory):
     return {"root": str(root), "data": data, "cfg": cfg_path}
 
 
+@pytest.mark.slow
 def test_train_cli_runs_and_checkpoints(workdir):
     from rtm3d_tpu.cli.train import main
 
@@ -56,6 +57,7 @@ def test_train_cli_runs_and_checkpoints(workdir):
     assert os.path.exists(os.path.join(wdir, "model_best.msgpack"))
 
 
+@pytest.mark.slow
 def test_detect_and_evaluate_cli(workdir):
     from rtm3d_tpu.cli.evaluate import main as eval_main
 
@@ -80,6 +82,7 @@ def test_detect_and_evaluate_cli(workdir):
     assert "Car_3d_moderate" in results
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(workdir):
     """CHECKPOINT_MODE=resume restores epoch and continues (train.py:137-145,
     without the reference's case-sensitivity bug)."""
@@ -96,6 +99,7 @@ def test_resume_from_checkpoint(workdir):
     assert int(np.asarray(state.step)) >= 2
 
 
+@pytest.mark.slow
 def test_detect_cli_saves_vis_panels(workdir):
     """--save-vis writes the drawn frame, the 3-row gt/pred comparison panel
     (reference detect.py:64-104 stacked display) and the BEV view."""
@@ -127,6 +131,7 @@ def test_detect_cli_saves_vis_panels(workdir):
     assert panel.shape[1] == frame.shape[1] // 2
 
 
+@pytest.mark.slow
 def test_evaluate_cli_int8(workdir):
     """evaluate --int8 runs the quantized detect path end-to-end and yields
     the full AP table (the fp-vs-int8 comparison workflow)."""

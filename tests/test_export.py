@@ -1,3 +1,4 @@
+import pytest
 import os
 
 import jax
@@ -6,6 +7,7 @@ import numpy as np
 import yaml
 
 
+@pytest.mark.slow
 def test_export_roundtrip(tmp_path, rng):
     from rtm3d_tpu.cli.export import load_exported, main
 

@@ -54,6 +54,7 @@ if is_master():
 
 
 @pytest.mark.skipif(os.environ.get("CI_FAST"), reason="slow subprocess test")
+@pytest.mark.slow
 def test_two_process_spmd(tmp_path):
     port = "29517"
     script = tmp_path / "worker.py"

@@ -6,6 +6,8 @@ computes the same dot products as the reference-semantics full-res convs
 equivalence: same params, same inputs, same outputs and batch stats.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -129,6 +131,7 @@ def test_dla_s2d_forward_equivalence_train(rng):
         np.testing.assert_allclose(g, r, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dla_s2d_gradient_equivalence(rng):
     """Grads wrt the canonical params must match the plain path (the
     transform is linear in w, so backward flows through the scatter)."""

@@ -26,6 +26,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(rng):
     cfg = small_cfg()
     cfg.INPUT_SIZE = (32, 32)  # smallest /32 shape: psum parity, not FLOPs
@@ -79,6 +80,7 @@ def test_batch_sharding_layout(rng):
     assert batch["image"].addressable_shards[0].data.shape[0] == 1
 
 
+@pytest.mark.slow
 def test_sharded_detect_matches_single_device(rng):
     """Data-parallel detect (shard_detect_inputs) must reproduce the
     single-device detect output exactly — each image is independent, so

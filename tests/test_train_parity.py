@@ -106,6 +106,7 @@ def _torch_optimizer(twin, lr, wd, wd_bias, wd_norm, bias_lr_factor):
     )
 
 
+@pytest.mark.slow
 def test_full_train_step_parity(rng):
     from tests.test_model_parity import TModel
     from rtm3d_tpu.nn.model import create_model
