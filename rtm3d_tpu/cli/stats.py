@@ -27,6 +27,12 @@ def parse_args(argv=None):
     p.add_argument("--model-config", type=str, required=True)
     p.add_argument("--data-path", type=str, default=None)
     p.add_argument("--split", type=str, default="train")
+    p.add_argument(
+        "--vis-targets", type=str, default=None,
+        help="write per-image target-heatmap overlays (the headless analogue "
+        "of reference tests/test_dataset_reader.py) to this directory",
+    )
+    p.add_argument("--vis-count", type=int, default=4)
     p.add_argument("--set", nargs="*", default=[])
     return p.parse_args(argv)
 
@@ -67,7 +73,37 @@ def main(argv=None):
         "num_objects": int(sum(len(a) for a in [areas])),
     }
     print(json.dumps(out, indent=2))
+    if args.vis_targets:
+        _write_target_overlays(args, cfg, ds)
     return out
+
+
+def _write_target_overlays(args, cfg, ds):
+    import os
+
+    import cv2
+
+    from rtm3d_tpu.data.targets import build_targets
+    from rtm3d_tpu.utils.visual import denormalize, draw_heatmap_overlay
+
+    os.makedirs(args.vis_targets, exist_ok=True)
+    W, H = ds.img_size
+    feat = (H // int(cfg.MODEL.DOWN_SAMPLE), W // int(cfg.MODEL.DOWN_SAMPLE))
+    import jax.numpy as jnp
+
+    for i in range(min(args.vis_count, len(ds))):
+        s = ds[i]
+        img = s["image"]
+        if img.dtype != np.uint8:
+            img = denormalize(
+                img, np.array(cfg.DATASET.MEAN), np.array(cfg.DATASET.STD)
+            )
+        labels = {k: jnp.asarray(v)[None] for k, v in s["labels"].items()}
+        t = build_targets(labels, feat, len(cfg.DATASET.OBJs))
+        overlay = draw_heatmap_overlay(img, np.asarray(t["m_hm"])[0])
+        name = os.path.splitext(os.path.basename(s["path"]))[0]
+        cv2.imwrite(os.path.join(args.vis_targets, f"{name}_targets.png"), overlay)
+    print(f"target overlays -> {args.vis_targets}")
 
 
 if __name__ == "__main__":

@@ -147,3 +147,32 @@ def compose_detection_panel(base_img, det, bi, K, names, gt=None):
         )
     panel = np.concatenate([row1, row2, row3], axis=0)
     return cv2.resize(panel, (panel.shape[1] // 2, panel.shape[0] // 2))
+
+
+def draw_heatmap_overlay(img, m_hm, peaks=None, alpha=0.5):
+    """Blend the per-class center heatmap over the (denormalised uint8)
+    input frame and mark peak pixels — the headless equivalent of the
+    reference's target-inspection smoke tool (tests/test_dataset_reader.py:
+    38-76, which needed a real dataset and an X display).
+
+    img: (H, W, 3) uint8; m_hm: (H/d, W/d, C) in [0, 1]. Returns uint8.
+    """
+    H, W = img.shape[:2]
+    hm = np.asarray(m_hm, np.float32)
+    C = hm.shape[-1]
+    color = np.zeros((hm.shape[0], hm.shape[1], 3), np.float32)
+    for c in range(C):
+        col = np.array(_COLORS[c % len(_COLORS)], np.float32)
+        color += hm[..., c : c + 1] * col[None, None]
+    color = np.clip(color, 0, 255)
+    color = cv2.resize(color, (W, H), interpolation=cv2.INTER_LINEAR)
+    out = np.clip(
+        img.astype(np.float32) * (1 - alpha) + color * alpha, 0, 255
+    ).astype(np.uint8)
+    d = H / hm.shape[0]
+    for c in range(C):
+        ys, xs = np.where(hm[..., c] >= 1.0)
+        for y, x in zip(ys, xs):
+            cv2.circle(out, (int(x * d + d / 2), int(y * d + d / 2)), 3,
+                       _COLORS[c % len(_COLORS)], -1)
+    return out

@@ -10,10 +10,18 @@ def test_stats_cli(tmp_path):
     cfg_path = str(tmp_path / "cfg.yaml")
     with open(cfg_path, "w") as f:
         yaml.dump({"INPUT_SIZE": "(128, 128)", "DATASET": {"PATH": root, "MAX_OBJS": 8}}, f)
-    out = main(["--model-config", cfg_path, "--split", "train"])
+    vis = str(tmp_path / "tvis")
+    out = main(
+        ["--model-config", cfg_path, "--split", "train",
+         "--vis-targets", vis, "--vis-count", "2"]
+    )
     assert 0 < out["BBOX_AREA_MAX"] <= 1.5
     assert out["BBOX_AREA_MIN"] <= out["BBOX_AREA_MAX"]
     assert len(out["VERTEX_OFFSET_INFER"]) == 2
+    import os
+
+    pngs = [f for f in os.listdir(vis) if f.endswith("_targets.png")]
+    assert len(pngs) == 2  # heatmap overlays (ref tests/test_dataset_reader.py)
 
 
 def test_model_info():
