@@ -62,10 +62,19 @@ def main(argv=None):
     for cls in cfg.DATASET.OBJs:
         for metric in ("bbox", "bev", "3d"):
             for diff in ("easy", "moderate", "hard"):
-                ap = evaluate_directories(
-                    gt_dir, args.out_dir, names,
-                    class_name=cls, metric=metric, difficulty=diff,
-                )
+                if metric == "bbox":
+                    # AOS rides the bbox matching (official devkit pairing)
+                    ap, aos = evaluate_directories(
+                        gt_dir, args.out_dir, names,
+                        class_name=cls, metric=metric, difficulty=diff,
+                        with_aos=True,
+                    )
+                    results[f"{cls}_aos_{diff}"] = round(100 * aos, 2)
+                else:
+                    ap = evaluate_directories(
+                        gt_dir, args.out_dir, names,
+                        class_name=cls, metric=metric, difficulty=diff,
+                    )
                 results[f"{cls}_{metric}_{diff}"] = round(100 * ap, 2)
     print(json.dumps(results, indent=2))
     return results

@@ -298,6 +298,7 @@ def evaluate_ap(
     class_name: str = "Car",
     metric: str = "3d",
     difficulty: str = "moderate",
+    with_aos: bool = False,
 ) -> float:
     """AP_R40 over a dataset. gts/dets: per image lists of parsed objects.
 
@@ -312,6 +313,11 @@ def evaluate_ap(
     Single pass: dets processed in descending score order against per-image
     overlap matrices; every det yields one (score, outcome) event and the
     PR curve is cumulative sums over the event list.
+
+    with_aos: also return AOS (average orientation similarity, the official
+    devkit's companion metric for the bbox AP): TP events accumulate
+    (1+cos(alpha_det - alpha_gt))/2 and the similarity-precision curve is
+    swept over the same R40 recall grid. Returns ``(ap, aos)``.
     """
     min_ov = MIN_OVERLAP[metric][0 if class_name == "Car" else 1]
     neighbors = NEIGHBOR_CLASSES.get(class_name, ())
@@ -372,7 +378,10 @@ def evaluate_ap(
                 if len(cand):
                     j = cand[np.argmax(ov_valid[i][cand])]
                     used_valid[j] = True
-                    events.append((det["score"], SHADOW if small else TP))
+                    sim = 0.5 * (1.0 + np.cos(det["alpha"] - valid[j]["alpha"]))
+                    events.append(
+                        (det["score"], SHADOW if small else TP, sim)
+                    )
                     continue
             # 2) ignored gt absorbs the det (neither TP nor FP)
             if len(ignored):
@@ -386,27 +395,34 @@ def evaluate_ap(
             # 4) DontCare region absorption
             if dc_frac.shape[1] and (dc_frac[i] >= min_ov).any():
                 continue
-            events.append((det["score"], FP))
+            events.append((det["score"], FP, 0.0))
 
     if total_valid_gt == 0 or not events:
-        return 0.0
+        return (0.0, 0.0) if with_aos else 0.0
 
     ev = np.array(sorted(events, key=lambda e: -e[0]), np.float64)
-    scores, kinds = ev[:, 0], ev[:, 1]
+    scores, kinds, sims = ev[:, 0], ev[:, 1], ev[:, 2]
     tp_c = np.cumsum(kinds == TP)
     fp_c = np.cumsum(kinds == FP)
     sh_c = np.cumsum(kinds == SHADOW)
+    sim_c = np.cumsum(np.where(kinds == TP, sims, 0.0))
     # only threshold-realisable points: the last index of each tied-score run
     last = np.r_[scores[1:] != scores[:-1], True]
-    tp_c, fp_c, sh_c = tp_c[last], fp_c[last], sh_c[last]
+    tp_c, fp_c, sh_c, sim_c = tp_c[last], fp_c[last], sh_c[last], sim_c[last]
     denom_fn = np.maximum(total_valid_gt - sh_c, 1e-12)
     recalls = tp_c / denom_fn
-    precs = tp_c / np.maximum(tp_c + fp_c, 1e-12)
-    ap = 0.0
+    denom_p = np.maximum(tp_c + fp_c, 1e-12)
+    precs = tp_c / denom_p
+    sim_precs = sim_c / denom_p
+    ap, aos = 0.0, 0.0
     for r in np.linspace(0.025, 1.0, 40):
         mask = recalls >= r
         ap += (precs[mask].max() if mask.any() else 0.0) / 40.0
-    return float(min(ap, 1.0))
+        aos += (sim_precs[mask].max() if mask.any() else 0.0) / 40.0
+    ap = float(min(ap, 1.0))
+    if with_aos:
+        return ap, float(min(aos, 1.0))
+    return ap
 
 
 def evaluate_directories(gt_dir: str, det_dir: str, image_names: Sequence[str], **kw):

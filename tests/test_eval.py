@@ -268,3 +268,32 @@ def test_eval_scales_to_real_val_size():
             assert 0.0 <= ap <= 1.0
     dt = time.perf_counter() - t0
     assert dt < 60.0, f"9 evaluation cells took {dt:.1f}s"
+
+
+def test_aos_tracks_orientation_quality():
+    """AOS == AP for perfect orientations; collapses toward 0 for
+    pi-flipped orientations while bbox AP is unchanged (devkit AOS
+    semantics: similarity (1+cos d)/2 accumulated on TPs)."""
+    from rtm3d_tpu.eval.ap import evaluate_ap
+
+    def obj(alpha, score=None):
+        d = {
+            "type": "Car", "truncated": 0.0, "occluded": 0,
+            "alpha": alpha,
+            "bbox": np.array([100.0, 100.0, 200.0, 180.0]),
+            "dim": np.array([1.5, 1.6, 3.9]),
+            "loc": np.array([0.0, 1.0, 20.0]),
+            "ry": alpha,
+            "score": 1.0 if score is None else score,
+        }
+        return d
+
+    gts = [[obj(0.5)], [obj(-1.0)]]
+    dets_good = [[obj(0.5, 0.9)], [obj(-1.0, 0.8)]]
+    dets_flip = [[obj(0.5 + np.pi, 0.9)], [obj(-1.0 + np.pi, 0.8)]]
+
+    ap_g, aos_g = evaluate_ap(gts, dets_good, metric="bbox", with_aos=True)
+    ap_f, aos_f = evaluate_ap(gts, dets_flip, metric="bbox", with_aos=True)
+    assert ap_g == pytest.approx(1.0) and ap_f == pytest.approx(1.0)
+    assert aos_g == pytest.approx(ap_g)
+    assert aos_f == pytest.approx(0.0, abs=1e-6)
