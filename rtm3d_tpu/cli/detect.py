@@ -115,7 +115,7 @@ def main(argv=None):
 
     apply_fn = None
     if args.int8:
-        apply_fn = _int8_apply_fn(args, cfg, model, variables)
+        apply_fn = _int8_apply_fn(args, cfg, model, variables, ds)
     detect = make_detect_step(model, cfg, with_3d=True, apply_fn=apply_fn)
 
     # multi-chip: shard the batch over the data axis, replicate the params
@@ -210,10 +210,10 @@ def main(argv=None):
     )
 
 
-def _int8_apply_fn(args, cfg, model, variables):
+def _int8_apply_fn(args, cfg, model, variables, ds):
     """Build the quantized apply: load saved activation scales, or sweep
-    ``--calib-batches`` test-split batches through the same normalisation
-    the detect step applies."""
+    ``--calib-batches`` split batches (from the already-constructed dataset)
+    through the same normalisation the detect step applies."""
     from rtm3d_tpu.nn.quant import (
         calibrate_act_scales,
         load_act_scales,
@@ -227,9 +227,6 @@ def _int8_apply_fn(args, cfg, model, variables):
     else:
         from rtm3d_tpu.train.step import normalize_images, prepare_images
 
-        ds = create_dataset(
-            cfg.DATASET.PATH, cfg, is_training=False, split=args.split
-        )
         loader = DataLoader(
             ds, min(args.batch_size, len(ds)), shuffle=False, drop_last=False,
             num_shards=1, shard_index=0, pad_final=True,

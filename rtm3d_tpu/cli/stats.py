@@ -78,15 +78,24 @@ def main(argv=None):
     return out
 
 
-def _write_target_overlays(args, cfg, ds):
+def _write_target_overlays(args, cfg, _ds):
     import os
 
     import cv2
 
+    from rtm3d_tpu.data.kitti import create_dataset
     from rtm3d_tpu.data.targets import build_targets
     from rtm3d_tpu.utils.visual import denormalize, draw_heatmap_overlay
 
     os.makedirs(args.vis_targets, exist_ok=True)
+    # host-preprocessed frames: in device-warp raw mode the dataset ships
+    # the ORIGINAL frame + affine scalars while labels live in the warped
+    # frame — blending those would misplace every blob, so the overlay
+    # pipeline always materialises the warped frame on the host
+    vcfg = cfg.clone()
+    vcfg.TPU.DEVICE_WARP = False
+    vcfg.TPU.DEVICE_DATA_CACHE = False
+    ds = create_dataset(vcfg.DATASET.PATH, vcfg, is_training=False, split=args.split)
     W, H = ds.img_size
     feat = (H // int(cfg.MODEL.DOWN_SAMPLE), W // int(cfg.MODEL.DOWN_SAMPLE))
     import jax.numpy as jnp
@@ -99,7 +108,16 @@ def _write_target_overlays(args, cfg, ds):
                 img, np.array(cfg.DATASET.MEAN), np.array(cfg.DATASET.STD)
             )
         labels = {k: jnp.asarray(v)[None] for k, v in s["labels"].items()}
-        t = build_targets(labels, feat, len(cfg.DATASET.OBJs))
+        # same target parameters the train step uses (train/step.py)
+        t = build_targets(
+            labels,
+            feat,
+            len(cfg.DATASET.OBJs),
+            down_ratio=float(cfg.MODEL.DOWN_SAMPLE),
+            gaussian_gen_type=cfg.DATASET.GAUSSIAN_GEN_TYPE,
+            bbox_area_max=cfg.DATASET.BBOX_AREA_MAX,
+            bbox_area_min=cfg.DATASET.BBOX_AREA_MIN,
+        )
         overlay = draw_heatmap_overlay(img, np.asarray(t["m_hm"])[0])
         name = os.path.splitext(os.path.basename(s["path"]))[0]
         cv2.imwrite(os.path.join(args.vis_targets, f"{name}_targets.png"), overlay)

@@ -29,20 +29,24 @@ def load_library() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     default = os.path.join(_repo_root(), "native", "libpreproc.so")
-    if not os.path.exists(default) and os.path.exists(
-        os.path.join(_repo_root(), "native", "Makefile")
+    override = os.environ.get("RTM3D_PREPROC_LIB", "")
+    if (
+        not (override and os.path.exists(override))
+        and not os.path.exists(default)
+        and os.path.exists(os.path.join(_repo_root(), "native", "Makefile"))
     ):
-        # build artifacts are not tracked in git — build quietly on first use
+        # build artifacts are not tracked in git — build quietly on first
+        # use; missing toolchain just means native mode stays unavailable
         import subprocess
 
-        subprocess.run(
-            ["make", "-C", os.path.join(_repo_root(), "native"), "libpreproc.so"],
-            capture_output=True,
-        )
-    candidates = [
-        os.environ.get("RTM3D_PREPROC_LIB", ""),
-        default,
-    ]
+        try:
+            subprocess.run(
+                ["make", "-C", _repo_root() + "/native", "libpreproc.so"],
+                capture_output=True,
+            )
+        except OSError:
+            pass
+    candidates = [override, default]
     for path in candidates:
         if path and os.path.exists(path):
             try:

@@ -170,19 +170,24 @@ def _geom_lib() -> Optional[ctypes.CDLL]:
         return _GEOM_LIB
     _GEOM_TRIED = True
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    path = os.environ.get(
-        "RTM3D_GEOMETRY_LIB", os.path.join(root, "native", "libgeometry.so")
-    )
-    if not os.path.exists(path) and os.path.exists(
-        os.path.join(root, "native", "Makefile")
+    default = os.path.join(root, "native", "libgeometry.so")
+    path = os.environ.get("RTM3D_GEOMETRY_LIB") or default
+    if (
+        path == default
+        and not os.path.exists(default)
+        and os.path.exists(os.path.join(root, "native", "Makefile"))
     ):
-        # build artifacts are not tracked in git — build quietly on first use
+        # build artifacts are not tracked in git — build quietly on first
+        # use; missing toolchain just means the python fallback is used
         import subprocess
 
-        subprocess.run(
-            ["make", "-C", os.path.join(root, "native"), "libgeometry.so"],
-            capture_output=True,
-        )
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.join(root, "native"), "libgeometry.so"],
+                capture_output=True,
+            )
+        except OSError:
+            pass
     if os.path.exists(path):
         try:
             lib = ctypes.CDLL(path)

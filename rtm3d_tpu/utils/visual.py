@@ -149,7 +149,7 @@ def compose_detection_panel(base_img, det, bi, K, names, gt=None):
     return cv2.resize(panel, (panel.shape[1] // 2, panel.shape[0] // 2))
 
 
-def draw_heatmap_overlay(img, m_hm, peaks=None, alpha=0.5):
+def draw_heatmap_overlay(img, m_hm, alpha=0.5):
     """Blend the per-class center heatmap over the (denormalised uint8)
     input frame and mark peak pixels — the headless equivalent of the
     reference's target-inspection smoke tool (tests/test_dataset_reader.py:
