@@ -46,7 +46,7 @@ def main():
 
     rng = np.random.RandomState(0)
     # serving-realistic input: raw uint8 frames, normalised on device
-    images = jnp.asarray((rng.rand(BATCH, H, W, 3) * 255).astype(np.uint8))
+    base = (rng.rand(BATCH, H, W, 3) * 255).astype(np.uint8)
     K = jnp.asarray(
         np.tile(
             np.array(
@@ -56,15 +56,21 @@ def main():
         )
     )
 
+    # a DISTINCT input batch per iteration: the runtime may memoize repeated
+    # identical executions, which would turn a re-fed constant batch into a
+    # cache-hit benchmark; device-resident ahead of the timed loop so H2D is
+    # excluded either way
+    iters = 20
+    inputs = [jnp.asarray(base + np.uint8(i + 1)) for i in range(iters)]
+    jax.block_until_ready(inputs)
+
     # warmup / compile
-    out = detect(variables, images, K)
+    out = detect(variables, jnp.asarray(base), K)
     jax.block_until_ready(out)
 
-    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = detect(variables, images, K)
-    jax.block_until_ready(out)
+    outs = [detect(variables, imgs, K) for imgs in inputs]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     ips = BATCH * iters / dt

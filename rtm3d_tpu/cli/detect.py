@@ -53,6 +53,12 @@ def parse_args(argv=None):
         "--calib-scales", type=str, default=None,
         help="JSON file of saved activation scales (skips calibration)",
     )
+    p.add_argument(
+        "--from-export", type=str, default=None,
+        help="serve from a cli.export StableHLO artifact: the model forward "
+        "is spliced from the artifact instead of re-traced/re-lowered "
+        "(skips the 4-90s per-process jit start of the flax model)",
+    )
     p.add_argument("--set", nargs="*", default=[])
     return p.parse_args(argv)
 
@@ -106,17 +112,38 @@ def main(argv=None):
     cfg = load_config(args.model_config, args.set)
     if args.data_path:
         cfg.DATASET.PATH = args.data_path
+    # the HBM dataset cache is a multi-epoch TRAINING optimisation — only
+    # cli/train.py builds it; with it left on the dataset would emit
+    # image_idx-only samples and detect would KeyError on batch['image']
+    # (serving makes one pass, so the cache buys nothing here anyway)
+    cfg.TPU.DEVICE_DATA_CACHE = False
 
     ds = create_dataset(cfg.DATASET.PATH, cfg, is_training=False, split=args.split)
     cfg.INPUT_SIZE = tuple(ds.img_size)
-    model = create_model(cfg)
-    ckpt = args.checkpoint or cfg.DETECTOR.CHECKPOINT
-    variables = load_variables(cfg, model, ckpt, cfg.INPUT_SIZE)
+    if args.from_export:
+        # the checkpoint's weights are baked into the artifact as constants —
+        # no model construction, no weight load, no flax trace/lower
+        assert not args.int8, "--int8 quantizes the flax model; export the quantized program instead"
+        from rtm3d_tpu.cli.export import load_exported
+        from rtm3d_tpu.train.step import make_detect_step_from_export
 
-    apply_fn = None
-    if args.int8:
-        apply_fn = _int8_apply_fn(args, cfg, model, variables, ds)
-    detect = make_detect_step(model, cfg, with_3d=True, apply_fn=apply_fn)
+        exported = load_exported(args.from_export)
+        bs = int(exported.in_avals[0].shape[0])
+        if bs != args.batch_size:
+            print(f"from-export: artifact batch is {bs}, overriding --batch-size")
+            args.batch_size = bs
+        detect_fn = make_detect_step_from_export(exported, cfg)
+        detect = lambda _v, *a, **k: detect_fn(*a, **k)
+        variables = {}
+    else:
+        model = create_model(cfg)
+        ckpt = args.checkpoint or cfg.DETECTOR.CHECKPOINT
+        variables = load_variables(cfg, model, ckpt, cfg.INPUT_SIZE)
+
+        apply_fn = None
+        if args.int8:
+            apply_fn = _int8_apply_fn(args, cfg, model, variables, ds)
+        detect = make_detect_step(model, cfg, with_3d=True, apply_fn=apply_fn)
 
     # multi-chip: shard the batch over the data axis, replicate the params
     # (data-parallel serving; the reference has no multi-GPU inference path)
@@ -191,14 +218,13 @@ def main(argv=None):
             b2[:, 1::2] = (b2[:, 1::2] - pad_h) / r
             b2[:, 0::2] = b2[:, 0::2].clip(0, w0 - 1)
             b2[:, 1::2] = b2[:, 1::2].clip(0, h0 - 1)
-            det_i = dict(det)
-            det_i["bbox2d"] = det["bbox2d"].copy()
-            det_i["bbox2d"][bi] = b2
-            lines = detections_to_lines(det_i, names, bi)
+            # single-row views (plus the remapped bbox row) — not full-batch
+            # copies — feed the line formatter
+            det_i = {k: np.asarray(v)[bi : bi + 1] for k, v in det.items()}
+            det_i["bbox2d"] = b2[None]
+            lines = detections_to_lines(det_i, names, 0)
             write_results(args.out_dir, name, lines)
-            if args.save_vis and "warp" not in batch:
-                # vis draws on the preprocessed frame; in raw/device-warp
-                # mode the host never materialises it
+            if args.save_vis:
                 _save_vis(args, cfg, batch, det, bi, name)
         n_img += num_valid
     t_wall = time.perf_counter() - t_wall
@@ -260,7 +286,21 @@ def _save_vis(args, cfg, batch, det, bi, name):
     )
 
     raw = batch["image"][bi]
-    if raw.dtype == np.uint8:
+    if "warp" in batch:
+        # device-warp raw mode ships the unwarped source canvas; the host
+        # never materialises the preprocessed frame the device computes, so
+        # reconstruct it for display only: apply the same affine with cv2
+        # (reference detect.py:50-52 always has a display frame)
+        sx, sy, tx, ty, w0, h0 = (float(v) for v in batch["warp"][bi])
+        src = raw[: int(h0), : int(w0)]
+        M = np.array([[sx, 0, tx], [0, sy, ty]], np.float64)
+        border = tuple(float(v) for v in batch["border"][bi])
+        w, h = int(cfg.INPUT_SIZE[0]), int(cfg.INPUT_SIZE[1])
+        img = cv2.warpAffine(
+            src, M, (w, h), flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=border,
+        )
+    elif raw.dtype == np.uint8:
         img = raw.copy()
     else:
         img = denormalize(

@@ -34,6 +34,11 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--with-decode", action="store_true",
                    help="include heatmap decode (peaks+vertices) in the export")
+    p.add_argument(
+        "--platforms", type=str, default=None,
+        help="comma-separated lowering platforms (e.g. 'cpu,tpu') so one "
+        "artifact serves anywhere; default: the current backend only",
+    )
     p.add_argument("--set", nargs="*", default=[])
     return p.parse_args(argv)
 
@@ -45,22 +50,35 @@ def main(argv=None):
     model = create_model(cfg)
     variables = load_variables(cfg, model, args.checkpoint or cfg.DETECTOR.CHECKPOINT, (w, h))
 
+    # serve at the configured precision: bake bf16-cast weights into the
+    # artifact so the exported convs hit the MXU in bf16 exactly like
+    # make_detect_step (decode stays fp32)
+    compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
+    if compute_dtype != jnp.float32:
+        variables = jax.tree_util.tree_map(
+            lambda p: p.astype(compute_dtype)
+            if getattr(p, "dtype", None) == jnp.float32
+            else p,
+            variables,
+        )
+
+    def fwd(images):
+        return model.apply(variables, images.astype(compute_dtype), train=False)
+
     if args.with_decode:
         def fn(images):
-            logits = model.apply(variables, images, train=False)
             return decode_detections(
-                logits,
+                fwd(images),
                 score_thresh=float(cfg.DETECTOR.SCORE_THRESH),
                 topk=int(cfg.DETECTOR.TOPK_CANDIDATES),
                 down_sample=float(cfg.MODEL.DOWN_SAMPLE),
-                approx_topk=False,  # portable: no TPU-specific custom call
             )
     else:
-        def fn(images):
-            return model.apply(variables, images, train=False)
+        fn = fwd
 
     spec = jax.ShapeDtypeStruct((args.batch_size, h, w, 3), jnp.float32)
-    exported = jax.export.export(jax.jit(fn))(spec)
+    platforms = args.platforms.split(",") if args.platforms else None
+    exported = jax.export.export(jax.jit(fn), platforms=platforms)(spec)
     data = exported.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
     with open(args.output, "wb") as f:

@@ -75,6 +75,11 @@ def setup(args):
 
 
 def run_eval_epoch(eval_step, state, loader, mesh, image_cache=None):
+    """Equal-weight mean of per-batch losses over TRUE samples only: the
+    wrap-around rows `pad_final` adds to the last batch are excluded inside
+    the loss via the batch's `sample_valid` row mask (reference test_epoch
+    averages true batches, train.py:61-81 — padded duplicates must not bias
+    the best-model metric)."""
     losses = []
     for sb in prefetch_to_device(iter(loader), lambda b: device_batch(mesh, b)):
         out = eval_step(state, sb, image_cache)

@@ -120,6 +120,11 @@ class DataLoader:
         samples = [self.dataset.__getitem__(int(i), rng=rng) for i in chunk]
         batch = _stack(samples)
         batch["num_valid"] = num_valid
+        # per-sample validity (False on wrap-around pad rows): unlike the
+        # host-side num_valid scalar this shards correctly on the batch axis
+        # under multi-process assembly, so jitted consumers (eval loss) can
+        # mask padded rows exactly
+        batch["sample_valid"] = np.arange(len(chunk)) < num_valid
         return batch
 
     # ------------------------------------------------------------------

@@ -30,22 +30,14 @@ def load_library() -> Optional[ctypes.CDLL]:
     _TRIED = True
     default = os.path.join(_repo_root(), "native", "libpreproc.so")
     override = os.environ.get("RTM3D_PREPROC_LIB", "")
-    if (
-        not (override and os.path.exists(override))
-        and not os.path.exists(default)
-        and os.path.exists(os.path.join(_repo_root(), "native", "Makefile"))
-    ):
-        # build artifacts are not tracked in git — build quietly on first
-        # use; missing toolchain just means native mode stays unavailable
-        import subprocess
+    if not (override and os.path.exists(override)) and not os.path.exists(default):
+        # build artifacts are not tracked in git — build on first use
+        # (serialized across forked loader workers, timeout-bounded, stderr
+        # surfaced via warnings); missing toolchain just means native mode
+        # stays unavailable
+        from rtm3d_tpu.utils.native_build import build_native_target
 
-        try:
-            subprocess.run(
-                ["make", "-C", _repo_root() + "/native", "libpreproc.so"],
-                capture_output=True,
-            )
-        except OSError:
-            pass
+        build_native_target(os.path.join(_repo_root(), "native"), "libpreproc.so")
     candidates = [override, default]
     for path in candidates:
         if path and os.path.exists(path):

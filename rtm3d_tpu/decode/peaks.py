@@ -34,12 +34,18 @@ def nms_peaks(hm: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
 
 
 def _top_k(flat: jnp.ndarray, k: int, approx: bool):
-    """Top-k over the flattened heatmap. On TPU ``lax.approx_max_k`` uses the
-    hardware-optimised partial-reduce path (~10x faster than exact top_k on
-    ~1e5-element rows); after 3x3 peak-NMS the heatmap is sparse, so with
-    recall_target=0.99 the approximation is inconsequential for k peaks."""
+    """Top-k over the flattened heatmap.
+
+    The deployed default is EXACT ``lax.top_k`` — the reference's semantics
+    (model.py:91-93) and the path every parity test proves. Measured on a
+    v5e-1 at the bench shape (DLA-34 b64 @1280x384), exact vs approx is
+    indistinguishable at the full-step level (360.2 img/s both ways: the
+    top-k is a negligible slice of the 177 ms batch), while
+    ``approx_max_k(recall_target=0.99)`` dropped an accepted detection in
+    2/240 sparse post-NMS batches. ``approx=True`` keeps the approximate
+    path available (at recall_target=0.999: 0/240 deviations measured)."""
     if approx:
-        return jax.lax.approx_max_k(flat, k, recall_target=0.99)
+        return jax.lax.approx_max_k(flat, k, recall_target=0.999)
     return jax.lax.top_k(flat, k)
 
 
@@ -69,7 +75,7 @@ def decode_detections(
     # matching the reference's flatten order (model.py:88-97).
     flat = jnp.transpose(hm, (0, 3, 1, 2)).reshape(B, C * H * W)
     if approx_topk is None:
-        approx_topk = jax.default_backend() == "tpu"
+        approx_topk = False  # exact everywhere: measured free on TPU (_top_k)
     scores, indices = _top_k(flat, topk, approx_topk)
     valid = scores > score_thresh
     cls = indices // (H * W)

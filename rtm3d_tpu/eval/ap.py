@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -172,22 +172,13 @@ def _geom_lib() -> Optional[ctypes.CDLL]:
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     default = os.path.join(root, "native", "libgeometry.so")
     path = os.environ.get("RTM3D_GEOMETRY_LIB") or default
-    if (
-        path == default
-        and not os.path.exists(default)
-        and os.path.exists(os.path.join(root, "native", "Makefile"))
-    ):
-        # build artifacts are not tracked in git — build quietly on first
-        # use; missing toolchain just means the python fallback is used
-        import subprocess
+    if path == default and not os.path.exists(default):
+        # build artifacts are not tracked in git — build on first use
+        # (serialized, timeout-bounded, stderr surfaced; see
+        # utils/native_build.py); missing toolchain -> python fallback
+        from rtm3d_tpu.utils.native_build import build_native_target
 
-        try:
-            subprocess.run(
-                ["make", "-C", os.path.join(root, "native"), "libgeometry.so"],
-                capture_output=True,
-            )
-        except OSError:
-            pass
+        build_native_target(os.path.join(root, "native"), "libgeometry.so")
     if os.path.exists(path):
         try:
             lib = ctypes.CDLL(path)
@@ -304,7 +295,7 @@ def evaluate_ap(
     metric: str = "3d",
     difficulty: str = "moderate",
     with_aos: bool = False,
-) -> float:
+) -> float | Tuple[float, float]:
     """AP_R40 over a dataset. gts/dets: per image lists of parsed objects.
 
     Official-devkit semantics: gt of the class splits into valid (difficulty
@@ -324,6 +315,10 @@ def evaluate_ap(
     (1+cos(alpha_det - alpha_gt))/2 and the similarity-precision curve is
     swept over the same R40 recall grid. Returns ``(ap, aos)``.
     """
+    if with_aos and metric != "bbox":
+        # the devkit defines AOS only on 2D bbox matching; a bev/3d "AOS"
+        # would be a silently meaningless number
+        raise ValueError("with_aos requires metric='bbox' (devkit semantics)")
     min_ov = MIN_OVERLAP[metric][0 if class_name == "Car" else 1]
     neighbors = NEIGHBOR_CLASSES.get(class_name, ())
     min_height = DIFFICULTY[difficulty][0]

@@ -17,14 +17,26 @@ def sigmoid_hm(logits):
     return jnp.clip(jax.nn.sigmoid(logits), 1e-4, 1 - 1e-4)
 
 
-def focal_loss(prediction, target, alpha: float = 2.0, beta: float = 4.0):
+def focal_loss(prediction, target, alpha: float = 2.0, beta: float = 4.0,
+               sample_mask=None):
     """prediction: clamped probabilities, any shape; target: same shape.
 
     Positive pixels are exactly target == 1 (noise-damped 0.9999 peaks count
     as negatives, matching module.py:48-49).
+
+    sample_mask: optional (B,) validity over the leading batch axis — rows
+    where it is False contribute nothing to either sum or to the positive
+    count, so the result equals the loss of the valid sub-batch alone
+    (used to neutralise wrap-around padding in final eval batches).
     """
     pos = (target == 1.0).astype(prediction.dtype)
     neg = (target < 1.0).astype(prediction.dtype)
+    if sample_mask is not None:
+        sm = sample_mask.astype(prediction.dtype).reshape(
+            (-1,) + (1,) * (prediction.ndim - 1)
+        )
+        pos = pos * sm
+        neg = neg * sm
     neg_weights = jnp.power(1.0 - target, beta)
 
     pos_loss = jnp.log(prediction) * jnp.power(1.0 - prediction, alpha) * pos

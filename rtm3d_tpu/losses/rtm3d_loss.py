@@ -58,10 +58,16 @@ def rtm3d_loss(
     w_v_off: float = 0.5,
     focal_alpha: float = 2.0,
     focal_beta: float = 4.0,
+    sample_mask=None,
 ):
     """logits: NHWC (m_hm_pred, ver_coor_pred, m_off_pred, v_off_pred).
 
     Returns (loss, aux[5]) with aux = [MKF, VFM, M_OFF, V_OFF, total].
+
+    sample_mask: optional (B,) bool — False rows (wrap-around padding in a
+    final eval batch) are excluded from every term's sums AND counts, so the
+    result equals the loss computed on the valid sub-batch alone (reference
+    test_epoch averages true batches only, train.py:61-81).
     """
     m_hm_pred, ver_coor_pred, m_off_pred, v_off_pred = (
         l.astype(jnp.float32) for l in logits
@@ -79,9 +85,14 @@ def rtm3d_loss(
     v_mask = targets["v_mask"]  # (B, N, 8)
 
     # --- main keypoint focal (rtm3d_loss.py:285) ---
-    loss_mkf = focal_loss(sigmoid_hm(m_hm_pred), m_hm, focal_alpha, focal_beta)
+    loss_mkf = focal_loss(
+        sigmoid_hm(m_hm_pred), m_hm, focal_alpha, focal_beta,
+        sample_mask=sample_mask,
+    )
 
     ofm_valid = mask & (~noise) & mask_3d  # (B, N) (rtm3d_loss.py:300)
+    if sample_mask is not None:
+        ofm_valid = ofm_valid & sample_mask[:, None]
 
     # --- vertex-from-center coordinates: gather the 16-ch map at gt centers,
     # raw (no sigmoid) L1 against v_coor_off (rtm3d_loss.py:303-310) ---
@@ -99,6 +110,8 @@ def rtm3d_loss(
     # --- main sub-pixel offsets (rtm3d_loss.py:323-329) ---
     mo_pred = jax.nn.sigmoid(_gather_pixels(m_off_pred, m_proj))  # (B, N, 2)
     m_valid = mask & (~noise)
+    if sample_mask is not None:
+        m_valid = m_valid & sample_mask[:, None]
     loss_moff = _masked_mean_l1(mo_pred, m_off, m_valid)
 
     loss_mkf = loss_mkf * w_mkf

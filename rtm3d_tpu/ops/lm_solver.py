@@ -160,11 +160,13 @@ def lm_solve_pallas(uv, x0, Kp, iters: int = 40, lam0: float = 1e-3, interpret: 
     Mp = ((M + blk - 1) // blk) * blk
     pad = Mp - M
     if pad:
-        # zero padding is solver-safe: fx=0 and the damped Gauss-Jordan keep
-        # padded lanes finite; the caller slices them away below
+        # padded lanes are sliced away below, but they must stay FINITE:
+        # x0=0 gives z=0 -> inv_z=inf -> NaN, which trips jax.debug_nans and
+        # would poison any future cross-lane reduction. Ones in x0/Kp keep
+        # depth and focals away from zero (uv=0 is fine).
         uv = jnp.pad(uv, ((0, 0), (0, pad)))
-        x0 = jnp.pad(x0, ((0, 0), (0, pad)))
-        Kp = jnp.pad(Kp, ((0, 0), (0, pad)))
+        x0 = jnp.pad(x0, ((0, 0), (0, pad)), constant_values=1.0)
+        Kp = jnp.pad(Kp, ((0, 0), (0, pad)), constant_values=1.0)
     kernel = functools.partial(_lm_kernel, iters=iters, lam0=lam0, prior_weight=prior_weight)
     x, cost = pl.pallas_call(
         kernel,

@@ -98,7 +98,9 @@ def shard_batch(mesh: Mesh, batch):
 
 # arrays the jitted steps consume; host-only keys (path, shape, num_valid)
 # stay on the host side of the pipeline
-DEVICE_BATCH_KEYS = ("image", "image_idx", "labels", "warp", "border", "photo")
+DEVICE_BATCH_KEYS = (
+    "image", "image_idx", "labels", "warp", "border", "photo", "sample_valid",
+)
 
 
 def device_batch(mesh: Mesh, batch):

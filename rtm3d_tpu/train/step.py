@@ -93,7 +93,7 @@ def prepare_images(batch, cfg: Config, image_cache=None) -> jnp.ndarray:
 
 
 def _loss_from_batch(model, cfg: Config, params, batch_stats, batch, train: bool,
-                     image_cache=None):
+                     image_cache=None, sample_mask=None):
     feat_hw = _feat_hw(cfg)
     num_classes = len(cfg.DATASET.OBJs)
     imgs = prepare_images(batch, cfg, image_cache)
@@ -152,6 +152,7 @@ def _loss_from_batch(model, cfg: Config, params, batch_stats, batch, train: bool
             w_v_off=cfg.TRAINING.W_V_OFF,
             focal_alpha=cfg.MODEL.FOCAL_LOSS_ALPHA,
             focal_beta=cfg.MODEL.FOCAL_LOSS_BEDA,
+            sample_mask=sample_mask,
         )
         return loss, (aux, new_stats)
 
@@ -209,18 +210,49 @@ def make_eval_loss_step(model, cfg: Config) -> Callable:
     Evaluates the EMA shadow when one is tracked (the reference's
     CheckPointer prefers the EMA model, check_point.py:122) — whether
     ``ema_params`` is None is part of the pytree structure, so the branch is
-    resolved at trace time."""
+    resolved at trace time.
 
-    def eval_step(state: TrainState, batch, image_cache=None):
+    Padded-tail exclusion: when the batch carries ``sample_valid`` (the
+    loader's per-sample validity, False on wrap-around pad rows — sharded on
+    the batch axis so it stays correct under multi-process assembly) or the
+    caller passes ``num_valid`` (a traced ``np.int32`` scalar), the loss is
+    computed as if the batch held only its valid samples."""
+
+    def eval_step(state: TrainState, batch, image_cache=None, num_valid=None):
         p = state.ema_params if state.ema_params is not None else state.params
+        sample_mask = batch.get("sample_valid")
+        if num_valid is not None:
+            B = batch["labels"]["mask"].shape[0]
+            sample_mask = jnp.arange(B) < num_valid
         loss_fn = _loss_from_batch(
             model, cfg, p, state.batch_stats, batch, train=False,
-            image_cache=image_cache,
+            image_cache=image_cache, sample_mask=sample_mask,
         )
         loss, (aux, _) = loss_fn(p)
         return {"loss": loss, "loss_items": aux}
 
     return jax.jit(eval_step)
+
+
+def attach_3d(det, K, cfg: Config):
+    """Complete a decoded detection dict with the 3D recovery: batched LM
+    solve from the regressed vertices + residual acceptance
+    (reference optim_decode_bbox3d, model_utils.py:264-312)."""
+    dim_ref = jnp.asarray(cfg.DETECTOR.dim_ref, jnp.float32)
+    ref_loc = jnp.asarray(cfg.DETECTOR.REF_LOC, jnp.float32)
+    topk = det["v_proj"].shape[1]
+    Kb = jnp.broadcast_to(K[:, None, :, :], K.shape[:1] + (topk, 3, 3))
+    sol = solve_bbox3d(
+        det["v_proj"], det["cls"], Kb, dim_ref, ref_loc,
+        iters=int(cfg.DETECTOR.SOLVER_ITERS),
+        prior_weight=float(cfg.DETECTOR.get("DIM_PRIOR_WEIGHT", 0.0)),
+    )
+    det = dict(det)
+    det.update(sol)
+    det["accepted"] = det["valid"] & (
+        sol["cost"] < float(cfg.DETECTOR.RESIDUAL_THRESH)
+    )
+    return det
 
 
 def make_detect_step(
@@ -236,13 +268,8 @@ def make_detect_step(
     apply_fn: optional replacement for ``model.apply`` with the same
     signature — e.g. ``nn.quant.quantized_apply`` for int8 serving.
     """
-    dim_ref = jnp.asarray(cfg.DETECTOR.dim_ref, jnp.float32)
-    ref_loc = jnp.asarray(cfg.DETECTOR.REF_LOC, jnp.float32)
     topk = int(cfg.DETECTOR.TOPK_CANDIDATES)
     thresh = float(cfg.DETECTOR.SCORE_THRESH)
-    iters = int(cfg.DETECTOR.SOLVER_ITERS)
-    prior_w = float(cfg.DETECTOR.get("DIM_PRIOR_WEIGHT", 0.0))
-    res_thresh = float(cfg.DETECTOR.RESIDUAL_THRESH)
 
     compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
 
@@ -274,15 +301,50 @@ def make_detect_step(
             down_sample=float(cfg.MODEL.DOWN_SAMPLE),
         )
         if with_3d:
-            Kb = jnp.broadcast_to(K[:, None, :, :], K.shape[:1] + (topk, 3, 3))
-            sol = solve_bbox3d(
-                det["v_proj"], det["cls"], Kb, dim_ref, ref_loc,
-                iters=iters, prior_weight=prior_w,
-            )
-            det.update(sol)
-            det["accepted"] = det["valid"] & (sol["cost"] < res_thresh)
+            det = attach_3d(det, K, cfg)
         else:
             det["accepted"] = det["valid"]
         return det
+
+    return jax.jit(detect_step)
+
+
+def make_detect_step_from_export(exported, cfg: Config) -> Callable:
+    """Detect step built around a deserialized ``jax.export`` artifact
+    (cli/export.py): the model forward (optionally + heatmap decode) comes
+    from the artifact's StableHLO — its MLIR is spliced into this program
+    without re-tracing or re-lowering the flax model, which is the dominant
+    per-process jit start cost (measured 4-90 s at KITTI scale). Only the
+    thin pre/post stages (normalise/warp, 3D solve) trace here.
+
+    The artifact's contract: input is the preprocessed float32 frame batch
+    (B, H, W, 3); output is either the 4-logit tuple or, for a
+    ``--with-decode`` export, the decoded detection dict.
+    """
+    thresh = float(cfg.DETECTOR.SCORE_THRESH)
+    topk = int(cfg.DETECTOR.TOPK_CANDIDATES)
+
+    def detect_step(images, K, warp=None, border=None):
+        if warp is not None:
+            from rtm3d_tpu.ops.device_warp import device_warp
+
+            w, h = int(cfg.INPUT_SIZE[0]), int(cfg.INPUT_SIZE[1])
+            images = device_warp(
+                images, warp, (h, w), cfg.DATASET.MEAN, cfg.DATASET.STD,
+                border=border,
+            )
+        else:
+            images = normalize_images(images, cfg)
+        out = exported.call(images.astype(jnp.float32))
+        if isinstance(out, dict):  # exported --with-decode
+            det = out
+        else:  # logits-only artifact: decode here
+            det = decode_detections(
+                out,
+                score_thresh=thresh,
+                topk=topk,
+                down_sample=float(cfg.MODEL.DOWN_SAMPLE),
+            )
+        return attach_3d(det, K, cfg)
 
     return jax.jit(detect_step)

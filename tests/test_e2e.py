@@ -132,6 +132,46 @@ def test_detect_cli_saves_vis_panels(workdir):
 
 
 @pytest.mark.slow
+def test_detect_cli_with_tpu_recipe_flags(workdir):
+    """Detect must serve a config carrying the TPU training recipe flags
+    (configs/rtm3d_dla34_kitti_tpu.yaml): TPU.DEVICE_DATA_CACHE is a
+    train-only optimisation detect clears (it would otherwise KeyError on
+    batch['image']), and --save-vis works in device-warp raw mode by
+    reconstructing the preprocessed frame on host."""
+    import cv2
+
+    from rtm3d_tpu.cli.detect import main as detect_main
+
+    wdir = os.path.join(workdir["root"], "weights", "RESNET-18")
+    out_dir = os.path.join(workdir["root"], "results_tpu_flags")
+    vis = os.path.join(workdir["root"], "vis_warp")
+    detect_main(
+        [
+            "--model-config", workdir["cfg"],
+            "--data-path", workdir["data"],
+            "--split", "test",
+            "--out-dir", out_dir,
+            "--save-vis", vis,
+            "--checkpoint", os.path.join(wdir, "model_best.msgpack"),
+            "--batch-size", "2",
+            "--set",
+            "TPU.DEVICE_WARP", "True",
+            "TPU.DEVICE_DATA_CACHE", "True",
+            "DATASET.CACHE_IMAGES", "True",
+        ]
+    )
+    with open(os.path.join(workdir["data"], "ImageSets", "test.txt")) as f:
+        names = f.read().splitlines()
+    for n in names:
+        assert os.path.exists(os.path.join(out_dir, f"{n}.txt")), n
+        for suffix in ("", "_panel", "_bev"):
+            assert os.path.exists(os.path.join(vis, f"{n}{suffix}.png")), (n, suffix)
+    # the reconstructed display frame has the preprocessed geometry
+    frame = cv2.imread(os.path.join(vis, f"{names[0]}.png"))
+    assert frame is not None and frame.shape[:2][::-1] != (0, 0)
+
+
+@pytest.mark.slow
 def test_evaluate_cli_int8(workdir):
     """evaluate --int8 runs the quantized detect path end-to-end and yields
     the full AP table (the fp-vs-int8 comparison workflow)."""

@@ -53,6 +53,128 @@ if is_master():
 """
 
 
+_TRAIN_WORKER = r"""
+import os, sys, json
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+cfg_path = sys.argv[4]; out_dir = sys.argv[5]
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+# explicit coordinator here == what `cli.train --multihost` does via
+# jax.distributed.initialize() under a cluster env (train CLI docstring)
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+)
+sys.path.insert(0, os.getcwd())
+import numpy as np
+from rtm3d_tpu.cli.train import main
+from rtm3d_tpu.config import load_config
+from rtm3d_tpu.data.kitti import create_dataset
+from rtm3d_tpu.data.loader import DataLoader
+from rtm3d_tpu.parallel.mesh import local_batch_size
+
+state = main(["--model-config", cfg_path])
+
+# record this process's epoch-0 shard for the disjointness assertion —
+# the same DataLoader construction cli.train used
+cfg = load_config(cfg_path, [])
+ds = create_dataset(cfg.DATASET.PATH, cfg, is_training=True, split="train")
+loader = DataLoader(ds, local_batch_size(cfg.BATCH_SIZE), shuffle=True, seed=20)
+loader.set_epoch(0)
+with open(os.path.join(out_dir, f"shard_{pid}.json"), "w") as f:
+    json.dump([int(i) for i in loader._indices()], f)
+print("TRAIN_WORKER_DONE", pid, int(np.asarray(state.step)))
+"""
+
+
+@pytest.mark.skipif(os.environ.get("CI_FAST"), reason="slow subprocess test")
+@pytest.mark.slow
+def test_two_process_cli_train_e2e(tmp_path):
+    """The actual `cli.train` multihost path end-to-end on 2 CPU processes:
+    per-process local_batch_size loaders feeding
+    make_array_from_process_local_data, master-only checkpointing, disjoint
+    data shards, decreasing loss (reference train_multi_gpu.py:210-236)."""
+    import yaml
+
+    from rtm3d_tpu.data.synthetic import generate_kitti
+
+    data = generate_kitti(
+        str(tmp_path / "kitti"), num_train=8, num_test=2, img_hw=(96, 128), max_objs=3
+    )
+    cfg = {
+        "INPUT_SIZE": "(128, 128)",
+        "IS_RECT": True,
+        "BATCH_SIZE": 4,  # global; each process loads 2
+        "DATASET": {"PATH": data, "MAX_OBJS": 8},
+        "MODEL": {
+            "BACKBONE": "RESNET-18",
+            "KFNs": ["layer1", "layer2", "layer3", "layer4"],
+        },
+        "TRAINING": {
+            "WEIGHTS": str(tmp_path / "weights"),
+            "LOGDIR": str(tmp_path / "logs"),
+            "CHECKPOINT_MODE": "start",
+        },
+        "SOLVER": {
+            "BASE_LR": 0.001,
+            "MAX_EPOCH": 2,
+            "WARMUP_ITERS": 2,
+            "STEPS": "(1000, 2000)",
+        },
+        "TPU": {"DONATE": False},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    script = tmp_path / "train_worker.py"
+    script.write_text(_TRAIN_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", "29531", cfg_path, str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    # disjoint shards covering the dataset
+    import json
+
+    shards = []
+    for i in range(2):
+        with open(tmp_path / f"shard_{i}.json") as f:
+            shards.append(set(json.load(f)))
+    assert shards[0].isdisjoint(shards[1])
+    assert shards[0] | shards[1] == set(range(8))
+
+    # exactly the master wrote checkpoints; both processes trained all steps
+    wdir = tmp_path / "weights" / "RESNET-18"
+    assert (wdir / "last_checkpoint").exists()
+    assert (wdir / "model_best.msgpack").exists()
+    master_out = [o for o in outs if "epoch 0 it 0" in o]
+    assert len(master_out) == 1, "only the master process logs"
+
+    # loss decreases from the first epoch's start to the second's
+    import re
+
+    totals = [
+        float(m) for m in re.findall(r"total=([0-9.]+)", master_out[0])
+    ]
+    assert len(totals) >= 2 and totals[-1] < totals[0], totals
+
+
 @pytest.mark.skipif(os.environ.get("CI_FAST"), reason="slow subprocess test")
 @pytest.mark.slow
 def test_two_process_spmd(tmp_path):

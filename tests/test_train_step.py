@@ -160,3 +160,42 @@ def test_frozen_scope_gets_no_update(rng):
         lambda a, b: np.array_equal(a, np.asarray(b)), before, after
     )
     assert all(jax.tree_util.tree_leaves(eq))
+
+
+def test_eval_padded_tail_matches_unpadded(rng):
+    """A pad_final tail batch (wrap-around duplicate rows) scored with
+    num_valid must equal the plain eval loss of the unpadded sub-batch —
+    padded duplicates must not bias the best-model test loss (reference
+    test_epoch averages true batches only, train.py:61-81)."""
+    cfg = small_cfg()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables, tx)
+    eval_fn = make_eval_loss_step(model, cfg)
+
+    full = synth_batch(rng, B=4)
+    num_valid = 2
+    # rows >= num_valid play the wrap-around filler role (DataLoader.pad_final
+    # fills with samples from elsewhere in the epoch's index stream)
+    padded = full
+    sub = {
+        "image": full["image"][:num_valid],
+        "labels": jax.tree_util.tree_map(
+            lambda x: x[:num_valid], full["labels"]
+        ),
+    }
+    out_pad = eval_fn(state, padded, None, np.int32(num_valid))
+    out_sub = eval_fn(state, sub)
+    np.testing.assert_allclose(
+        np.asarray(out_pad["loss_items"]),
+        np.asarray(out_sub["loss_items"]),
+        rtol=2e-5,
+    )
+    # and without the mask the duplicates DO shift the loss (guards against
+    # the mask silently not being applied)
+    out_nomask = eval_fn(state, padded)
+    assert not np.allclose(
+        np.asarray(out_nomask["loss_items"]),
+        np.asarray(out_sub["loss_items"]),
+        rtol=1e-6,
+    )
