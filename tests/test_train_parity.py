@@ -50,7 +50,8 @@ def _torch_loss(logits_nchw, t, w=(1.0, 1.0, 0.5, 0.5)):
     l_mkf = -nl.sum() if npos == 0 else -(pl.sum() + nl.sum()) / npos
 
     ofm_valid = t["mask"] & ~t["noise_mask"] & t["mask_3d"]
-    bidx = torch.arange(B)[:, None].expand(B, N)
+    Bt, Nt = t["mask"].shape  # derive from targets (callers vary B/MAX_OBJS)
+    bidx = torch.arange(Bt)[:, None].expand(Bt, Nt)
     sel = ofm_valid
     mp = t["m_proj"][sel]
     vc = vc_pred[bidx[sel], mp[:, 1], mp[:, 0]].reshape(-1, 8, 2)
@@ -60,8 +61,8 @@ def _torch_loss(logits_nchw, t, w=(1.0, 1.0, 0.5, 0.5)):
         if exp.any()
         else vc.sum() * 0.0
     )
-    bidx8 = bidx[..., None].expand(B, N, 8)
-    vsel = ofm_valid[..., None].expand(B, N, 8) & t["v_mask"]
+    bidx8 = bidx[..., None].expand(Bt, Nt, 8)
+    vsel = ofm_valid[..., None].expand(Bt, Nt, 8) & t["v_mask"]
     vp = t["v_proj"][vsel]
     vo = torch.sigmoid(vo_pred[bidx8[vsel], vp[:, 1], vp[:, 0]])
     l_voff = (

@@ -1,0 +1,383 @@
+"""AP-level parity: the torch reference stack and the jax stack trained side
+by side from IDENTICAL imported init on IDENTICAL data, then each evaluated
+with ITS OWN inference pipeline (torch decode + scipy L-BFGS-B vs jax batched
+decode + Pallas/LM) and scored with the same KITTI AP evaluator.
+
+This is the strongest in-environment proxy for the north star "AP3D within
+0.1 of the reference checkpoint" (BASELINE.md): the reference's pretrained
+weights (Baidu-pan) and real KITTI are unavailable here, so both stacks are
+trained on synthetic KITTI (data/synthetic.py) and compared at the metric
+that matters. Reference capability being mirrored: /root/reference/detect.py:35-108
+(inference) + /root/reference/utils/model_utils.py:264-312 (3D recovery);
+the reference itself has no evaluator, so eval/ap.py scores both sides.
+
+Also records the loss-drift curve between the stacks over the first
+``drift_steps`` training steps (both consume the same batches, so per-step
+loss deltas measure accumulated numeric divergence: fp order, Adamax sign
+geometry, BN running-stat drift).
+
+Usage:
+  python tools/ap_parity.py [--steps 300] [--out report.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_torch_twin(seed: int = 5):
+    """Full torch model twin: torchvision-layout ResNet-18 trunk + the KFPN
+    and header twins (reference model.py:9-18 composition), BN eps 1e-4 /
+    momentum 0.03 like reference initialize_weights (torch_utils.py:79-81)."""
+    import torch
+    import torch.nn as nn
+
+    from tests.test_checkpoint import _torch_resnet18
+    from tests.test_model_parity import THeader, TKFPN
+
+    class TPoseModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = _torch_resnet18()
+            self.kfpn_fusion = TKFPN(chans=(64, 128, 256, 512))
+            self.detect_header = THeader()
+
+        def forward(self, x):
+            return self.detect_header(self.kfpn_fusion(self.backbone(x)))
+
+    torch.manual_seed(seed)
+    twin = TPoseModel()
+    for mod in twin.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.momentum = 0.03
+    return twin
+
+
+def make_config(data_path: str, input_size: int, batch: int, lr: float):
+    from rtm3d_tpu.config import default_config
+
+    cfg = default_config()
+    cfg.MODEL.BACKBONE = "RESNET-18"
+    cfg.MODEL.KFNs = ["layer1", "layer2", "layer3", "layer4"]
+    cfg.INPUT_SIZE = (input_size, input_size)
+    cfg.IS_RECT = True
+    cfg.BATCH_SIZE = batch
+    cfg.DATASET.PATH = data_path
+    cfg.DATASET.MAX_OBJS = 8
+    cfg.SOLVER.BASE_LR = lr
+    cfg.SOLVER.WARMUP_ITERS = 0  # constant LR: the torch side mirrors it 1:1
+    cfg.SOLVER.STEPS = (10**6, 2 * 10**6)
+    cfg.DETECTOR.SCORE_THRESH = 0.25
+    cfg.DETECTOR.TOPK_CANDIDATES = 20
+    cfg.TPU.DONATE = False
+    cfg.TPU.NORMALIZE_ON_DEVICE = False  # host floats: both stacks eat the
+    # exact same normalised pixels
+    return cfg
+
+
+def run_ap_parity(
+    work_dir: str,
+    img_hw=(192, 256),
+    input_size: int = 256,
+    num_train: int = 64,
+    num_test: int = 16,
+    steps: int = 300,
+    batch: int = 8,
+    lr: float = 1e-3,
+    drift_steps: int = 50,
+    seed: int = 20,
+    progress=print,
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from rtm3d_tpu.data.kitti import create_dataset
+    from rtm3d_tpu.data.loader import DataLoader
+    from rtm3d_tpu.data.synthetic import generate_kitti
+    from rtm3d_tpu.data.targets import build_targets
+    from rtm3d_tpu.nn.model import create_model
+    from rtm3d_tpu.train.checkpoint import import_torch_weights
+    from rtm3d_tpu.train.optim import build_optimizer
+    from rtm3d_tpu.train.state import TrainState
+    from rtm3d_tpu.train.step import make_train_step
+    from tests.test_train_parity import _torch_loss, _torch_optimizer
+
+    os.makedirs(work_dir, exist_ok=True)
+    data = generate_kitti(
+        os.path.join(work_dir, "kitti"),
+        num_train=num_train,
+        num_test=num_test,
+        img_hw=img_hw,
+        max_objs=4,
+        seed=seed,
+    )
+    cfg = make_config(data, input_size, batch, lr)
+
+    # --- identical init: torch twin state_dict -> jax importer ---
+    twin = build_torch_twin()
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+    model = create_model(cfg)
+    # standard train augmentation: the loader's batch-keyed RNG makes the
+    # stream deterministic, and BOTH stacks consume the same produced batch
+    ds = create_dataset(data, cfg, is_training=True, split="train")
+    cfg.INPUT_SIZE = tuple(ds.img_size)
+    w, h = cfg.INPUT_SIZE
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)))
+    variables, report = import_torch_weights(variables, sd)
+    assert not report["missed"], report["missed"][:8]
+    progress(f"init: imported {len(report['loaded'])} tensors; input {w}x{h}")
+
+    feat_hw = (h // 4, w // 4)
+
+    # --- optimizers (same policy both sides; constant LR) ---
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, cfg, tx)
+    s = cfg.SOLVER
+    topt = _torch_optimizer(
+        twin, s.BASE_LR, s.WEIGHT_DECAY, s.WEIGHT_DECAY_BIAS,
+        s.WEIGHT_DECAY_NORM, s.BIAS_LR_FACTOR,
+    )
+    twin.train()
+
+    # --- identical data stream: deterministic loader, no augmentation ---
+    loader = DataLoader(
+        ds, batch, shuffle=True, seed=seed, num_shards=1, shard_index=0
+    )
+    loss_j, loss_t = [], []
+    step_i, epoch = 0, 0
+    while step_i < steps:
+        loader.set_epoch(epoch)
+        for b in loader:
+            if step_i >= steps:
+                break
+            imgs = b["image"].astype(np.float32)  # already normalised (host)
+            labels = {k: jnp.asarray(v) for k, v in b["labels"].items()}
+            jb = {"image": jnp.asarray(imgs), "labels": labels}
+            state, metrics = train_step(state, jb)
+            jl = float(metrics["loss"])
+
+            targets = build_targets(labels, feat_hw, 3)
+            t_t = {k: torch.as_tensor(np.asarray(v).copy()) for k, v in targets.items()}
+            xt = torch.as_tensor(imgs.transpose(0, 3, 1, 2))
+            topt.zero_grad()
+            tl = _torch_loss(twin(xt), t_t)
+            tl.backward()
+            topt.step()
+            loss_j.append(jl)
+            loss_t.append(float(tl))
+            if step_i % 20 == 0:
+                progress(
+                    f"step {step_i}: jax {jl:.4f} torch {float(tl):.4f} "
+                    f"drift {abs(jl - float(tl)) / max(abs(float(tl)), 1e-9):.2e}"
+                )
+            step_i += 1
+        epoch += 1
+
+    drift = [
+        abs(a - b) / max(abs(b), 1e-9)
+        for a, b in zip(loss_j[:drift_steps], loss_t[:drift_steps])
+    ]
+
+    # --- evaluate both stacks with their OWN pipelines ---
+    test_ds = create_dataset(data, cfg, is_training=False, split="test")
+    test_ds.img_size = list(ds.img_size)
+    res_j = os.path.join(work_dir, "results_jax")
+    res_t = os.path.join(work_dir, "results_torch")
+    eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    _detect_jax(cfg, model, eval_vars, test_ds, batch, res_j)
+    twin.eval()
+    _detect_torch(cfg, twin, test_ds, batch, res_t)
+
+    # --- int8 AP gate: the SAME trained jax weights through the quantized
+    # serving path (nn/quant.py), scored with the same evaluator — the
+    # accuracy bar behind the int8 throughput headline ---
+    res_q = os.path.join(work_dir, "results_int8")
+    _detect_jax(
+        cfg, model, eval_vars, test_ds, batch, res_q,
+        apply_fn=_int8_apply(cfg, model, eval_vars, ds, batch),
+    )
+
+    ap = _score_both(data, res_j, res_t, res_q)
+    out = {
+        "config": {
+            "backbone": "RESNET-18", "input": [w, h], "steps": steps,
+            "batch": batch, "lr": lr, "num_train": num_train,
+            "num_test": num_test,
+        },
+        "loss_jax_first_last": [loss_j[0], loss_j[-1]],
+        "loss_torch_first_last": [loss_t[0], loss_t[-1]],
+        "loss_drift_curve": drift,
+        "max_drift_first_%d" % drift_steps: max(drift) if drift else None,
+        "final_drift": abs(loss_j[-1] - loss_t[-1]) / max(abs(loss_t[-1]), 1e-9),
+        "ap": ap,
+    }
+    return out
+
+
+def _int8_apply(cfg, model, variables, train_ds, batch, calib_batches: int = 2):
+    """Quantized apply for the int8 leg: per-channel weight scales +
+    activation scales calibrated on a couple of training batches."""
+    import jax.numpy as jnp
+
+    from rtm3d_tpu.data.loader import DataLoader
+    from rtm3d_tpu.nn.quant import calibrate_act_scales, quantized_apply
+
+    loader = DataLoader(
+        train_ds, batch, shuffle=False, drop_last=False,
+        num_shards=1, shard_index=0, pad_final=True,
+    )
+    calib = []
+    for i, b in enumerate(loader):
+        if i >= calib_batches:
+            break
+        calib.append(jnp.asarray(b["image"].astype(np.float32)))
+    scales = calibrate_act_scales(model, variables, calib)
+    return quantized_apply(model, scales)
+
+
+def _detect_jax(cfg, model, variables, ds, batch, out_dir, apply_fn=None):
+    """jax serving pipeline: batched jitted decode + LM solver."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtm3d_tpu.data.loader import DataLoader
+    from rtm3d_tpu.eval.kitti_writer import detections_to_lines, write_results
+    from rtm3d_tpu.train.step import make_detect_step
+
+    detect = make_detect_step(model, cfg, with_3d=True, apply_fn=apply_fn)
+    loader = DataLoader(
+        ds, min(batch, len(ds)), shuffle=False, drop_last=False,
+        num_shards=1, shard_index=0, pad_final=True,
+    )
+    names = list(cfg.DATASET.OBJs)
+    for b in loader:
+        imgs = jnp.asarray(b["image"])
+        Ks = jnp.asarray(b["calib"].reshape(-1, 3, 3).astype(np.float32))
+        det = jax.device_get(detect(variables, imgs, Ks))
+        for bi in range(int(b.get("num_valid", imgs.shape[0]))):
+            name = os.path.splitext(os.path.basename(b["path"][bi]))[0]
+            det_i = {k: np.asarray(v)[bi : bi + 1] for k, v in det.items()}
+            write_results(out_dir, name, detections_to_lines(det_i, names, 0))
+
+
+def _detect_torch(cfg, twin, ds, batch, out_dir):
+    """torch reference pipeline: per-image decode loop + scipy L-BFGS-B
+    (reference detect.py:47-88 + model_utils.py:264-312 semantics)."""
+    import torch
+
+    from rtm3d_tpu.eval.kitti_writer import detections_to_lines, write_results
+    from tests.test_decode_parity import _torch_reference_decode
+    from tests.test_detect_parity import _scipy_reference_solve
+
+    names = list(cfg.DATASET.OBJs)
+    thresh = float(cfg.DETECTOR.SCORE_THRESH)
+    topk = int(cfg.DETECTOR.TOPK_CANDIDATES)
+    res_thresh = float(cfg.DETECTOR.RESIDUAL_THRESH)
+    for i in range(len(ds)):
+        sample = ds[i]
+        name = os.path.splitext(os.path.basename(sample["path"]))[0]
+        img = sample["image"].astype(np.float32)
+        K = sample["calib"].reshape(3, 3)
+        with torch.no_grad():
+            logits = twin(torch.as_tensor(img.transpose(2, 0, 1)[None]))
+        dec = _torch_reference_decode(
+            tuple(np.ascontiguousarray(t.numpy()) for t in logits), thresh, topk
+        )[0]
+        n = len(dec["cls"])
+        rows = {
+            "cls": [], "scores": [], "accepted": [], "bbox2d": [],
+            "ry": [], "dim": [], "loc": [],
+        }
+        import tests.test_detect_parity as tdp
+
+        for k in range(n):
+            # per-detection scipy solve with the sample's own K (the test
+            # helper reads module-level constants; swap K in)
+            old = tdp.K_CAM
+            tdp.K_CAM = K
+            try:
+                sol = _scipy_reference_solve(int(dec["cls"][k]), dec["verts"][k], K)
+            finally:
+                tdp.K_CAM = old
+            v = dec["verts"][k]
+            rows["cls"].append(int(dec["cls"][k]))
+            rows["scores"].append(float(dec["scores"][k]))
+            rows["accepted"].append(bool(sol["cost"] < res_thresh))
+            rows["bbox2d"].append(
+                [v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max()]
+            )
+            rows["ry"].append(float(sol["ry"]))
+            rows["dim"].append(sol["dim"].tolist())
+            rows["loc"].append(sol["loc"].tolist())
+        det_i = {
+            k: np.asarray(v)[None] if len(v) else np.zeros((1, 0) + np.asarray(v).shape[1:])
+            for k, v in rows.items()
+        }
+        write_results(out_dir, name, detections_to_lines(det_i, names, 0) if n else [])
+
+
+def _score_both(data, res_j, res_t, res_q=None):
+    from rtm3d_tpu.eval.ap import evaluate_directories
+
+    with open(os.path.join(data, "ImageSets", "test.txt")) as f:
+        names = sorted(f.read().splitlines())
+    gt_dir = os.path.join(data, "training", "label_2")
+    out = {}
+    for cls in ("Car", "Pedestrian", "Cyclist"):
+        for metric in ("bbox", "bev", "3d"):
+            for diff in ("easy", "moderate", "hard"):
+                kw = dict(class_name=cls, metric=metric, difficulty=diff)
+                a_j = evaluate_directories(gt_dir, res_j, names, **kw)
+                a_t = evaluate_directories(gt_dir, res_t, names, **kw)
+                key = f"{cls}_{metric}_{diff}"
+                out[key] = {
+                    "jax": round(100 * a_j, 2),
+                    "torch": round(100 * a_t, 2),
+                    "delta": round(100 * (a_j - a_t), 2),
+                }
+                if res_q is not None:
+                    a_q = evaluate_directories(gt_dir, res_q, names, **kw)
+                    out[key]["int8"] = round(100 * a_q, 2)
+                    out[key]["delta_int8"] = round(100 * (a_q - a_j), 2)
+    return out
+
+
+def main(argv=None):
+    from rtm3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    p = argparse.ArgumentParser("ap_parity")
+    p.add_argument("--work-dir", type=str, default="/tmp/ap_parity")
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--num-train", type=int, default=64)
+    p.add_argument("--num-test", type=int, default=16)
+    p.add_argument("--input-size", type=int, default=256)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args(argv)
+    out = run_ap_parity(
+        args.work_dir,
+        input_size=args.input_size,
+        num_train=args.num_train,
+        num_test=args.num_test,
+        steps=args.steps,
+        batch=args.batch,
+    )
+    print(json.dumps(out, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+    return out
+
+
+if __name__ == "__main__":
+    main()
