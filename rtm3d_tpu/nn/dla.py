@@ -171,7 +171,12 @@ class DLABase(nn.Module):
             and x.shape[2] % 2 == 0
         )
         if s2d:
-            b = 2
+            # block 4 when the input allows it: stem/level0 then run on a
+            # 4x-smaller grid with 16x the channels (48->256-ch convs fill
+            # the MXU's 128 lanes; measured v5e b32 @1280x384: the
+            # 192x640-map segment of the step drops ~3x). Block 2 remains
+            # the fallback for inputs divisible by 2 only.
+            b = 4 if (x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0) else 2
             x = space_to_depth(x, b)
             x = S2DConv(ch[0], 7, 1, b, name="base_conv")(x)
             x = nn.relu(grouped_phase_bn(x, b * b, train, name="base_norm"))
@@ -179,8 +184,11 @@ class DLABase(nn.Module):
             if "level0" in self.kfns:
                 outs.append(depth_to_space(x, b))
             # quirk parity: level1 uses levels[0] convs (dla.py:275-279);
-            # stride 2 consumes the s2d grid back to a plain half-res map
+            # stride 2 consumes half the s2d grid — block 2 lands on the
+            # plain half-res map, block 4 on an s2d-2 map restored below
             x = S2DConvLevel(ch[1], 3, 2, b, name="level1")(x, train)
+            if b == 4:
+                x = depth_to_space(x, 2)
             if "level1" in self.kfns:
                 outs.append(x)
         else:

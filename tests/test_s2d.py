@@ -158,3 +158,54 @@ def test_dla_s2d_gradient_equivalence(rng):
         np.testing.assert_allclose(
             g, r, rtol=1e-2, atol=1e-2, err_msg=jax.tree_util.keystr(pr)
         )
+
+
+def test_s2d_kernel_block4_stride1_k7(rng):
+    x = jnp.asarray(rng.randn(2, 16, 24, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 3, 16).astype(np.float32) * 0.1)
+    ref = _full_res_conv(x, w)
+    wp, pad = s2d_conv_kernel(w, 4, 1)
+    got = jax.lax.conv_general_dilated(
+        space_to_depth(x, 4), wp, (1, 1), list(pad),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(depth_to_space(got, 4), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_kernel_block4_stride2_k3(rng):
+    """block 4, stride 2: the conv emits an s2d-2 map of the half-res
+    output (c = b // stride = 2) — the level1 configuration of the b=4
+    stem path."""
+    x = jnp.asarray(rng.randn(1, 16, 24, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)
+    ref = _full_res_conv(x, w, stride=2)
+    wp, pad = s2d_conv_kernel(w, 4, 2)
+    got = jax.lax.conv_general_dilated(
+        space_to_depth(x, 4), wp, (1, 1), list(pad),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(depth_to_space(got, 2), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_kernel_transform_gradient(rng):
+    """The custom-VJP backward (inverse gather, no scatter) must equal the
+    autodiff gradient of the plain gather formulation."""
+    from rtm3d_tpu.nn.layers import _s2d_gather_plan, s2d_conv_kernel
+
+    for (k, b, stride) in [(7, 4, 1), (3, 4, 2), (3, 2, 1), (3, 2, 2)]:
+        w = jnp.asarray(rng.randn(k, k, 3, 5).astype(np.float32))
+
+        def f(w):
+            wp, _ = s2d_conv_kernel(w, b, stride)
+            return jnp.sum(wp * (1.0 + 0.1 * jnp.arange(wp.size).reshape(wp.shape)))
+
+        got = jax.grad(f)(w)
+
+        idx, mask, _ = _s2d_gather_plan(k, 3, 5, b, stride)
+
+        def f_ref(w):
+            wp = jnp.where(jnp.asarray(mask), w.reshape(-1)[jnp.asarray(idx)], 0)
+            return jnp.sum(wp * (1.0 + 0.1 * jnp.arange(wp.size).reshape(wp.shape)))
+
+        ref = jax.grad(f_ref)(w)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5), (k, b, stride)

@@ -186,6 +186,10 @@ def run_ap_parity(
         abs(a - b) / max(abs(b), 1e-9)
         for a, b in zip(loss_j[:drift_steps], loss_t[:drift_steps])
     ]
+    # persist the loss curves immediately: the eval phase must not be able
+    # to lose the (expensive) training result
+    with open(os.path.join(work_dir, "losses.json"), "w") as f:
+        json.dump({"jax": loss_j, "torch": loss_t}, f)
 
     # --- evaluate both stacks with their OWN pipelines ---
     test_ds = create_dataset(data, cfg, is_training=False, split="test")
