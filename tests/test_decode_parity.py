@@ -32,6 +32,16 @@ def _torch_reference_decode(logits_nchw, score_thresh, topk, down=4.0):
         scores, indices = torch.topk(hm.view(-1), topk)
         keep = scores > score_thresh
         scores, indices = scores[keep], indices[keep]
+        if len(indices) == 0:  # no candidates above threshold in this image
+            out.append(
+                {
+                    "cls": np.zeros((0,), np.int64),
+                    "scores": np.zeros((0,), np.float32),
+                    "centers": np.zeros((0, 2), np.float32),
+                    "verts": np.zeros((0, 8, 2), np.float32),
+                }
+            )
+            continue
         cls = indices // (H * W)
         xy = indices % (H * W)
         y = (xy // W).float()

@@ -94,7 +94,11 @@ def run_ap_parity(
     drift_steps: int = 50,
     seed: int = 20,
     progress=print,
+    resume: bool = True,
+    save_every: int = 25,
 ) -> dict:
+    import pickle
+
     import jax
     import jax.numpy as jnp
     import torch
@@ -152,51 +156,118 @@ def run_ap_parity(
     loader = DataLoader(
         ds, batch, shuffle=True, seed=seed, num_shards=1, shard_index=0
     )
-    loss_j, loss_t = [], []
-    step_i, epoch = 0, 0
-    while step_i < steps:
-        loader.set_epoch(epoch)
-        for b in loader:
-            if step_i >= steps:
-                break
-            imgs = b["image"].astype(np.float32)  # already normalised (host)
-            labels = {k: jnp.asarray(v) for k, v in b["labels"].items()}
-            jb = {"image": jnp.asarray(imgs), "labels": labels}
-            state, metrics = train_step(state, jb)
-            jl = float(metrics["loss"])
+    # resumability: the training phase is the expensive part (the torch CPU
+    # twin dominates); persist both stacks' trained weights + the loss
+    # curves so a crash in the eval phase never forces a retrain
+    ckpt_t = os.path.join(work_dir, "twin_final.pt")
+    ckpt_j = os.path.join(work_dir, "jax_final.pkl")
+    losses_path = os.path.join(work_dir, "losses.json")
+    can_resume = (
+        resume
+        and os.path.exists(ckpt_t)
+        and os.path.exists(ckpt_j)
+        and os.path.exists(losses_path)
+    )
+    if can_resume:
+        with open(losses_path) as f:
+            curves = json.load(f)
+        loss_j, loss_t = curves["jax"], curves["torch"]
+        can_resume = len(loss_j) >= steps
+    # mid-train checkpoint (atomic rename): a crash loses at most save_every
+    # steps, not the whole ~hour-long torch-twin training phase
+    mid_t = os.path.join(work_dir, "train_ckpt.pt")
+    mid_j = os.path.join(work_dir, "train_ckpt.pkl")
 
-            targets = build_targets(labels, feat_hw, 3)
-            t_t = {k: torch.as_tensor(np.asarray(v).copy()) for k, v in targets.items()}
-            xt = torch.as_tensor(imgs.transpose(0, 3, 1, 2))
-            topt.zero_grad()
-            tl = _torch_loss(twin(xt), t_t)
-            tl.backward()
-            topt.step()
-            loss_j.append(jl)
-            loss_t.append(float(tl))
-            if step_i % 20 == 0:
-                progress(
-                    f"step {step_i}: jax {jl:.4f} torch {float(tl):.4f} "
-                    f"drift {abs(jl - float(tl)) / max(abs(float(tl)), 1e-9):.2e}"
-                )
-            step_i += 1
-        epoch += 1
+    def _save_mid(step_i, epoch, state, loss_j, loss_t):
+        torch.save(
+            {"model": twin.state_dict(), "opt": topt.state_dict()}, mid_t + ".tmp"
+        )
+        os.replace(mid_t + ".tmp", mid_t)
+        with open(mid_j + ".tmp", "wb") as f:
+            pickle.dump(
+                {
+                    "state": jax.device_get(state),
+                    "step_i": step_i,
+                    "epoch": epoch,
+                    "loss_j": loss_j,
+                    "loss_t": loss_t,
+                },
+                f,
+            )
+        os.replace(mid_j + ".tmp", mid_j)
+
+    if can_resume:
+        progress(f"resuming: trained weights + {len(loss_j)}-step curves found")
+        twin.load_state_dict(torch.load(ckpt_t, weights_only=True))
+        with open(ckpt_j, "rb") as f:
+            eval_vars = pickle.load(f)
+    else:
+        loss_j, loss_t = [], []
+        step_i = 0
+        # each epoch of the deterministic loader yields the same batch count,
+        # so the loader position is fully determined by step_i
+        steps_per_epoch = max(1, len(loader))
+        if resume and os.path.exists(mid_t) and os.path.exists(mid_j):
+            with open(mid_j, "rb") as f:
+                mid = pickle.load(f)
+            state = jax.tree_util.tree_map(jnp.asarray, mid["state"])
+            loss_j, loss_t = mid["loss_j"], mid["loss_t"]
+            step_i = mid["step_i"]
+            saved = torch.load(mid_t, weights_only=True)
+            twin.load_state_dict(saved["model"])
+            topt.load_state_dict(saved["opt"])
+            progress(f"mid-train resume at step {step_i}")
+        while step_i < steps:
+            epoch = step_i // steps_per_epoch
+            loader.set_epoch(epoch)
+            skip_in_epoch = step_i % steps_per_epoch
+            for bi, b in enumerate(loader):
+                if bi < skip_in_epoch:
+                    continue
+                if step_i >= steps:
+                    break
+                imgs = b["image"].astype(np.float32)  # already normalised (host)
+                labels = {k: jnp.asarray(v) for k, v in b["labels"].items()}
+                jb = {"image": jnp.asarray(imgs), "labels": labels}
+                state, metrics = train_step(state, jb)
+                jl = float(metrics["loss"])
+
+                targets = build_targets(labels, feat_hw, 3)
+                t_t = {k: torch.as_tensor(np.asarray(v).copy()) for k, v in targets.items()}
+                xt = torch.as_tensor(imgs.transpose(0, 3, 1, 2))
+                topt.zero_grad()
+                tl = _torch_loss(twin(xt), t_t)
+                tl.backward()
+                topt.step()
+                loss_j.append(jl)
+                loss_t.append(float(tl.detach()))
+                if step_i % 20 == 0:
+                    progress(
+                        f"step {step_i}: jax {jl:.4f} torch {loss_t[-1]:.4f} "
+                        f"drift {abs(jl - loss_t[-1]) / max(abs(loss_t[-1]), 1e-9):.2e}"
+                    )
+                step_i += 1
+                if step_i % save_every == 0 and step_i < steps:
+                    _save_mid(step_i, epoch, state, loss_j, loss_t)
+        eval_vars = jax.device_get(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        torch.save(twin.state_dict(), ckpt_t)
+        with open(ckpt_j, "wb") as f:
+            pickle.dump(eval_vars, f)
+        with open(losses_path, "w") as f:
+            json.dump({"jax": loss_j, "torch": loss_t}, f)
 
     drift = [
         abs(a - b) / max(abs(b), 1e-9)
         for a, b in zip(loss_j[:drift_steps], loss_t[:drift_steps])
     ]
-    # persist the loss curves immediately: the eval phase must not be able
-    # to lose the (expensive) training result
-    with open(os.path.join(work_dir, "losses.json"), "w") as f:
-        json.dump({"jax": loss_j, "torch": loss_t}, f)
 
     # --- evaluate both stacks with their OWN pipelines ---
     test_ds = create_dataset(data, cfg, is_training=False, split="test")
     test_ds.img_size = list(ds.img_size)
     res_j = os.path.join(work_dir, "results_jax")
     res_t = os.path.join(work_dir, "results_torch")
-    eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
     _detect_jax(cfg, model, eval_vars, test_ds, batch, res_j)
     twin.eval()
     _detect_torch(cfg, twin, test_ds, batch, res_t)
