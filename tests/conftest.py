@@ -36,3 +36,29 @@ import pytest  # noqa: E402
 @pytest.fixture()
 def rng():
     return np.random.RandomState(20)
+
+
+@pytest.fixture(scope="session")
+def base_prog():
+    """One shared traced+compiled train/eval program for the canonical small
+    config (ResNet-18 @64x64). Tracing + lowering the full train step is the
+    dominant cost of the fast suite; tests that only need *a* correct base
+    program (vs a config variant) reuse this instead of building their own.
+    step_fn/eval_fn are pure — tests derive fresh TrainStates from
+    `variables` and never mutate the fixture."""
+    from rtm3d_tpu.nn.model import init_model
+    from rtm3d_tpu.train.optim import build_optimizer
+    from rtm3d_tpu.train.step import make_eval_loss_step, make_train_step
+    from tests.test_train_step import small_cfg
+
+    cfg = small_cfg()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(cfg, variables["params"])
+    return {
+        "cfg": cfg,
+        "model": model,
+        "variables": variables,
+        "tx": tx,
+        "step_fn": make_train_step(model, cfg, tx),
+        "eval_fn": make_eval_loss_step(model, cfg),
+    }

@@ -56,8 +56,11 @@ def test_sharded_train_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_spatial_mesh_compiles(rng):
-    """data x spatial mesh: XLA shards conv spatially with halo exchange."""
+    """data x spatial mesh: XLA shards conv spatially with halo exchange.
+    (slow: the 8-way spmd train-step compile is the single most expensive
+    program in the suite; the data-parallel spmd paths stay in the fast set)"""
     cfg = small_cfg()
     cfg.INPUT_SIZE = (64, 32)  # W x H: height still splits 2-way
     model, variables = init_model(cfg, jax.random.PRNGKey(0))

@@ -12,7 +12,12 @@ from rtm3d_tpu.train.step import make_train_step
 from tests.test_train_step import small_cfg, synth_batch
 
 
-def test_ema_tracks_params(rng):
+@pytest.fixture(scope="module")
+def ema_run():
+    """Shared 3-step EMA training run: the EMA train-step program is one of
+    the most expensive traces in the fast suite, and both EMA tests only
+    need its post-step state."""
+    rng = np.random.RandomState(20)
     cfg = small_cfg()
     cfg.TRAINING.EMA = True
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
@@ -23,6 +28,17 @@ def test_ema_tracks_params(rng):
     batch = synth_batch(rng)
     for _ in range(3):
         state, _ = step_fn(state, batch)
+    return {
+        "cfg": cfg,
+        "model": model,
+        "variables": variables,
+        "state": state,
+        "batch": batch,
+    }
+
+
+def test_ema_tracks_params(ema_run):
+    variables, state = ema_run["variables"], ema_run["state"]
     # EMA differs from both init and live params, and lies between them
     p0 = jax.tree_util.tree_leaves(variables["params"])[0]
     pl = jax.tree_util.tree_leaves(state.params)[0]
@@ -79,11 +95,9 @@ def test_mosaic_composition(tmp_path, rng):
         assert (cy >= 0).all() and (cy < H).all()
 
 
-def test_remat_train_step_matches_loss(rng):
+def test_remat_train_step_matches_loss(rng, base_prog):
     """cfg.TPU.REMAT wraps the forward in jax.checkpoint; losses must match."""
-    cfg = small_cfg()
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
-    tx, _ = build_optimizer(cfg, variables["params"])
+    model, variables, tx = base_prog["model"], base_prog["variables"], base_prog["tx"]
     batch = synth_batch(rng)
 
     cfg_r = small_cfg()
@@ -91,7 +105,7 @@ def test_remat_train_step_matches_loss(rng):
 
     s1 = TrainState.create(variables, tx)
     s2 = TrainState.create(variables, tx)
-    f1 = make_train_step(model, cfg, tx)
+    f1 = base_prog["step_fn"]
     f2 = make_train_step(model, cfg_r, tx)
     s1, m1 = f1(s1, batch)
     s2, m2 = f2(s2, batch)
@@ -102,13 +116,11 @@ def test_remat_train_step_matches_loss(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
-def test_bf16_mixed_precision_training(rng):
+def test_bf16_mixed_precision_training(rng, base_prog):
     """COMPUTE_DTYPE=bfloat16: masters stay fp32, loss close to fp32 run."""
     import jax.numpy as jnp
 
-    cfg = small_cfg()
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
-    tx, _ = build_optimizer(cfg, variables["params"])
+    model, variables, tx = base_prog["model"], base_prog["variables"], base_prog["tx"]
     batch = synth_batch(rng)
 
     cfg_b = small_cfg()
@@ -116,7 +128,7 @@ def test_bf16_mixed_precision_training(rng):
 
     s32 = TrainState.create(variables, tx)
     sb = TrainState.create(variables, tx)
-    f32 = make_train_step(model, cfg, tx)
+    f32 = base_prog["step_fn"]
     fb = make_train_step(model, cfg_b, tx)
     s32, m32 = f32(s32, batch)
     sb, mb = fb(sb, batch)
@@ -133,23 +145,14 @@ def test_bf16_mixed_precision_training(rng):
     )
 
 
-def test_eval_step_consumes_ema(rng):
+def test_eval_step_consumes_ema(ema_run, base_prog):
     """run_eval_epoch scores the EMA shadow when one is tracked (the
     reference CheckPointer's EMA preference, check_point.py:122): after a few
     steps EMA and raw params diverge, so the two eval losses must differ."""
-    from rtm3d_tpu.train.step import make_eval_loss_step
-
-    cfg = small_cfg()
-    cfg.TRAINING.EMA = True
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
-    tx, _ = build_optimizer(cfg, variables["params"])
-    state = TrainState.create(variables, tx, with_ema=True)
-    step = make_train_step(model, cfg, tx)
-    batch = synth_batch(rng)
-    for _ in range(3):
-        state, _ = step(state, batch)
-
-    eval_step = make_eval_loss_step(model, cfg)
+    state, batch = ema_run["state"], ema_run["batch"]
+    # the eval program is EMA-agnostic (it reads state.eval_variables); the
+    # shared base eval_fn retraces only for the ema-bearing state structure
+    eval_step = base_prog["eval_fn"]
     loss_ema = float(eval_step(state, batch)["loss"])
     loss_raw = float(
         eval_step(state.replace(ema_params=None), batch)["loss"]

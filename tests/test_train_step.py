@@ -117,12 +117,9 @@ def test_adamax_matches_torch(rng):
     assert np.allclose(np.asarray(params), torch_out, atol=1e-6)
 
 
-def test_train_step_decreases_loss(rng):
-    cfg = small_cfg()
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
-    tx, _ = build_optimizer(cfg, variables["params"])
-    state = TrainState.create(variables, tx)
-    step_fn = make_train_step(model, cfg, tx)
+def test_train_step_decreases_loss(rng, base_prog):
+    state = TrainState.create(base_prog["variables"], base_prog["tx"])
+    step_fn = base_prog["step_fn"]
     batch = synth_batch(rng)
     losses = []
     for i in range(8):
@@ -136,13 +133,9 @@ def test_train_step_decreases_loss(rng):
     assert items[-1] == pytest.approx(float(metrics["loss"]), rel=1e-5)
 
 
-def test_eval_loss_step(rng):
-    cfg = small_cfg()
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
-    tx, _ = build_optimizer(cfg, variables["params"])
-    state = TrainState.create(variables, tx)
-    eval_fn = make_eval_loss_step(model, cfg)
-    out = eval_fn(state, synth_batch(rng))
+def test_eval_loss_step(rng, base_prog):
+    state = TrainState.create(base_prog["variables"], base_prog["tx"])
+    out = base_prog["eval_fn"](state, synth_batch(rng))
     assert np.isfinite(float(out["loss"]))
 
 
@@ -162,16 +155,13 @@ def test_frozen_scope_gets_no_update(rng):
     assert all(jax.tree_util.tree_leaves(eq))
 
 
-def test_eval_padded_tail_matches_unpadded(rng):
+def test_eval_padded_tail_matches_unpadded(rng, base_prog):
     """A pad_final tail batch (wrap-around duplicate rows) scored with
     num_valid must equal the plain eval loss of the unpadded sub-batch —
     padded duplicates must not bias the best-model test loss (reference
     test_epoch averages true batches only, train.py:61-81)."""
-    cfg = small_cfg()
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
-    tx, _ = build_optimizer(cfg, variables["params"])
-    state = TrainState.create(variables, tx)
-    eval_fn = make_eval_loss_step(model, cfg)
+    state = TrainState.create(base_prog["variables"], base_prog["tx"])
+    eval_fn = base_prog["eval_fn"]
 
     full = synth_batch(rng, B=4)
     num_valid = 2
