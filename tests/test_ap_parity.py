@@ -2,8 +2,8 @@
 side from identical imported init, each evaluated with its own pipeline,
 scored by the same evaluator (tools/ap_parity.py harness).
 
-The full-scale experiment (320 steps, 64 train images @256) is run by
-``python tools/ap_parity.py`` and its table lives in PARITY.md; this test
+The full-scale experiment (64 train images @256x192, results + artifacts in
+PARITY.md) is run by ``python tools/ap_parity.py``; this test
 pins a smaller configuration so regressions in any composed piece (importer,
 forward, loss, Adamax, decode, solver, evaluator) show up as loss-drift or
 AP divergence between the stacks.
