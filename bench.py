@@ -13,6 +13,7 @@ arXiv:2001.03343 Tab. 4) — the reference repo itself publishes no numbers
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -60,7 +61,7 @@ def main():
     # identical executions, which would turn a re-fed constant batch into a
     # cache-hit benchmark; device-resident ahead of the timed loop so H2D is
     # excluded either way
-    iters = 20
+    iters = 5
     inputs = [jnp.asarray(base + np.uint8(i + 1)) for i in range(iters)]
     jax.block_until_ready(inputs)
 
@@ -68,10 +69,33 @@ def main():
     out = detect(variables, jnp.asarray(base), K)
     jax.block_until_ready(out)
 
+    # Wall-clock is untrustworthy on remote/tunneled runtimes (async dispatch
+    # and execution memoization can make the loop complete far faster than
+    # the device runs it) — measure DEVICE time from a profiler trace of the
+    # loop and use wall-clock only as a fallback when no device lane exists.
+    import shutil
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.trace_times import summarize
+
+    tracedir = tempfile.mkdtemp(prefix="bench_trace_")
     t0 = time.perf_counter()
-    outs = [detect(variables, imgs, K) for imgs in inputs]
-    jax.block_until_ready(outs)
+    with jax.profiler.trace(tracedir):
+        outs = [detect(variables, imgs, K) for imgs in inputs]
+        jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
+    try:
+        _, _, _, modules = summarize(tracedir)
+        # the detect program dominates the trace; everything else in the
+        # module lane (transfers, tiny reformats) is not steady-state work
+        device_s = max(t for _, t in modules) / 1e6 if modules else 0.0
+    except Exception:
+        device_s = 0.0
+    finally:
+        shutil.rmtree(tracedir, ignore_errors=True)
+    dt = device_s if device_s > 0 else dt
 
     ips = BATCH * iters / dt
     print(
