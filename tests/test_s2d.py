@@ -70,12 +70,16 @@ def test_s2d_kernel_stride2_k3(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
-def _dla_variants(rng_np, train):
+@pytest.fixture(scope="module")
+def dla_pair():
+    """One shared (plain, s2d, variables, x) mini-DLA pair: inits are
+    traced programs and the 1-core host pays dearly for re-tracing them
+    per test. Narrow channels: the equivalence is structural, not
+    width-dependent."""
     from rtm3d_tpu.nn.dla import DLABase
 
-    # narrow channels: the equivalence is structural, not width-dependent,
-    # and the 1-core host pays dearly for tracing DLA-34-sized programs
     ch = (4, 8, 12, 16, 24, 32)
+    rng_np = np.random.RandomState(20)
     x = jnp.asarray(rng_np.rand(2, 32, 64, 3).astype(np.float32))
     plain = DLABase(kfns=("level0", "level1", "level2"), channels=ch, s2d_stem=False)
     s2d = DLABase(kfns=("level0", "level1", "level2"), channels=ch, s2d_stem=True)
@@ -86,9 +90,14 @@ def _dla_variants(rng_np, train):
 def test_dla_s2d_param_tree_identical(rng):
     from rtm3d_tpu.nn.dla import DLABase
 
+    ch = (4, 8, 12, 16, 24, 32)
     x = jnp.zeros((1, 32, 64, 3), jnp.float32)
-    v_plain = DLABase(s2d_stem=False).init(jax.random.PRNGKey(7), x, train=False)
-    v_s2d = DLABase(s2d_stem=True).init(jax.random.PRNGKey(7), x, train=False)
+    v_plain = DLABase(channels=ch, s2d_stem=False).init(
+        jax.random.PRNGKey(7), x, train=False
+    )
+    v_s2d = DLABase(channels=ch, s2d_stem=True).init(
+        jax.random.PRNGKey(7), x, train=False
+    )
     paths = lambda v: {
         jax.tree_util.keystr(p): tuple(a.shape)
         for p, a in jax.tree_util.tree_leaves_with_path(v)
@@ -102,21 +111,21 @@ def test_dla_s2d_param_tree_identical(rng):
         np.testing.assert_array_equal(a, b_), pa
 
 
-def test_dla_s2d_eval_uses_plain_path(rng):
+def test_dla_s2d_eval_uses_plain_path(dla_pair):
     """s2d is a train-only reparameterisation (inference convs are already
     efficient; measured slower with s2d on v5e) — eval outputs must be
     bit-identical to the plain path."""
-    plain, s2d, variables, x = _dla_variants(rng, train=False)
+    plain, s2d, variables, x = dla_pair
     ref = plain.apply(variables, x, train=False)
     got = s2d.apply(variables, x, train=False)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(g, r)
 
 
-def test_dla_s2d_forward_equivalence_train(rng):
+def test_dla_s2d_forward_equivalence_train(dla_pair):
     """train mode: batch stats (means/vars over the phase-grouped layout)
     must match the full-res per-channel stats."""
-    plain, s2d, variables, x = _dla_variants(rng, train=True)
+    plain, s2d, variables, x = dla_pair
     ref, mut_ref = plain.apply(
         variables, x, train=True, mutable=["batch_stats"]
     )
@@ -132,10 +141,10 @@ def test_dla_s2d_forward_equivalence_train(rng):
 
 
 @pytest.mark.slow
-def test_dla_s2d_gradient_equivalence(rng):
+def test_dla_s2d_gradient_equivalence(dla_pair):
     """Grads wrt the canonical params must match the plain path (the
     transform is linear in w, so backward flows through the scatter)."""
-    plain, s2d, variables, x = _dla_variants(rng, train=True)
+    plain, s2d, variables, x = dla_pair
 
     def loss(mod):
         def f(params):
