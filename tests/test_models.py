@@ -96,12 +96,8 @@ def test_full_model_logit_shapes(backbone, kfns):
     assert num_parameters(variables) > 1e6
 
 
-def test_train_mode_updates_batch_stats():
-    cfg = default_config()
-    cfg.MODEL.BACKBONE = "RESNET-18"
-    cfg.MODEL.KFNs = ["layer1", "layer2", "layer3", "layer4"]
-    cfg.INPUT_SIZE = (64, 64)
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+def test_train_mode_updates_batch_stats(base_prog):
+    model, variables = base_prog["model"], base_prog["variables"]
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
     logits, mutated = model.apply(
         variables, x, train=True, mutable=["batch_stats"]
@@ -111,12 +107,8 @@ def test_train_mode_updates_batch_stats():
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
 
 
-def test_model_jits_and_is_deterministic():
-    cfg = default_config()
-    cfg.MODEL.BACKBONE = "RESNET-18"
-    cfg.MODEL.KFNs = ["layer1", "layer2", "layer3", "layer4"]
-    cfg.INPUT_SIZE = (64, 64)
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+def test_model_jits_and_is_deterministic(base_prog):
+    model, variables = base_prog["model"], base_prog["variables"]
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
     f = jax.jit(lambda v, x: model.apply(v, x, train=False))
     y1 = f(variables, x)
