@@ -96,6 +96,8 @@ def run_ap_parity(
     progress=print,
     resume: bool = True,
     save_every: int = 25,
+    score_thresh: float | None = None,
+    residual_thresh: float | None = None,
 ) -> dict:
     import pickle
 
@@ -124,6 +126,16 @@ def run_ap_parity(
         seed=seed,
     )
     cfg = make_config(data, input_size, batch, lr)
+    # gate-relaxed scoring mode: the production gates (score >= 0.25,
+    # solver residual < 0.1) reject everything until the model is far into
+    # training; relaxing them IDENTICALLY on both stacks turns the AP
+    # comparison into a controlled end-to-end divergence measurement that
+    # is meaningful at moderate training scale (the gated run stays the
+    # production-semantics result)
+    if score_thresh is not None:
+        cfg.DETECTOR.SCORE_THRESH = float(score_thresh)
+    if residual_thresh is not None:
+        cfg.DETECTOR.RESIDUAL_THRESH = float(residual_thresh)
 
     # --- identical init: torch twin state_dict -> jax importer ---
     twin = build_torch_twin()
@@ -287,6 +299,8 @@ def run_ap_parity(
             "backbone": "RESNET-18", "input": [w, h], "steps": steps,
             "batch": batch, "lr": lr, "num_train": num_train,
             "num_test": num_test,
+            "score_thresh": float(cfg.DETECTOR.SCORE_THRESH),
+            "residual_thresh": float(cfg.DETECTOR.RESIDUAL_THRESH),
         },
         "loss_jax_first_last": [loss_j[0], loss_j[-1]],
         "loss_torch_first_last": [loss_t[0], loss_t[-1]],
@@ -438,6 +452,8 @@ def main(argv=None):
     p.add_argument("--num-test", type=int, default=16)
     p.add_argument("--input-size", type=int, default=256)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--score-thresh", type=float, default=None)
+    p.add_argument("--residual-thresh", type=float, default=None)
     args = p.parse_args(argv)
     out = run_ap_parity(
         args.work_dir,
@@ -446,6 +462,8 @@ def main(argv=None):
         num_test=args.num_test,
         steps=args.steps,
         batch=args.batch,
+        score_thresh=args.score_thresh,
+        residual_thresh=args.residual_thresh,
     )
     print(json.dumps(out, indent=2))
     if args.out:
