@@ -177,48 +177,39 @@ def s2d_conv_kernel(w, b: int, stride: int = 1):
     kernel entries that stay zero (no valid u maps to them).
     """
     k, _, cin, cout = w.shape
-    _, _, padding = _s2d_gather_plan(k, cin, cout, b, stride)
-    return _s2d_weights(w, b, stride).astype(w.dtype), padding
+    _, _, padding = _s2d_select_matrix(k, b, stride)
+    return _s2d_weights(w, b, stride), padding
 
 
 @functools.lru_cache(maxsize=None)
-def _s2d_inverse_plan(k: int, cin: int, cout: int, b: int, stride: int):
-    """Inverse of the gather plan: for each canonical weight entry, the c*c
-    flat positions it occupies in the s2d kernel layout. Lets the backward
-    be a GATHER-and-sum instead of a scatter-add — TPU lowers scatters to a
-    serialized loop (measured ~15 ms/step on the b=4 stem kernels)."""
-    idx, mask, _ = _s2d_gather_plan(k, cin, cout, b, stride)
-    c = b // stride
-    flat_idx = idx.reshape(-1)
-    pos = np.flatnonzero(mask.reshape(-1))
-    vals = flat_idx[pos]
-    order = np.argsort(vals, kind="stable")
-    n = k * k * cin * cout
-    assert len(pos) == n * c * c  # every canonical entry appears c*c times
-    return pos[order].reshape(n, c * c).astype(np.int32)
+def _s2d_select_matrix(k: int, b: int, stride: int):
+    """0/1 selection matrix M[(T,S,phase_in,phase_out), (u,v)] factoring the
+    channel dims out of the gather plan: the s2d kernel is ``M @ w`` over the
+    canonical spatial taps. Each row has at most one nonzero, so the matmul
+    is an exact selection (no rounding) — and its transpose (the VJP) is the
+    exact c*c-fold inverse sum. Replaces an arbitrary-index gather that TPU
+    lowered to a serialized scalar loop (measured ~7 ms/step on the b=4
+    stem/level0/level1 kernels)."""
+    idx, mask, padding = _s2d_gather_plan(k, 1, 1, b, stride)
+    kp = idx.shape[0]
+    M = np.zeros((idx.size, k * k), np.float32)
+    rows = np.flatnonzero(mask.reshape(-1))
+    M[rows, idx.reshape(-1)[rows]] = 1.0
+    return M, kp, padding
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _s2d_weights(w, b: int, stride: int):
-    # one gather; the custom backward below replaces jax's scatter-add
-    # transpose with an inverse gather (exact: same index map)
     k, _, cin, cout = w.shape
-    idx, mask, _ = _s2d_gather_plan(k, cin, cout, b, stride)
-    return jnp.where(jnp.asarray(mask), w.reshape(-1)[jnp.asarray(idx)], 0)
-
-
-def _s2d_weights_fwd(w, b: int, stride: int):
-    return _s2d_weights(w, b, stride), w.shape
-
-
-def _s2d_weights_bwd(b: int, stride: int, shape, g):
-    k, _, cin, cout = shape
-    inv = jnp.asarray(_s2d_inverse_plan(k, cin, cout, b, stride))
-    wbar = g.reshape(-1)[inv].sum(axis=1).reshape(shape)
-    return (wbar,)
-
-
-_s2d_weights.defvjp(_s2d_weights_fwd, _s2d_weights_bwd)
+    c = b // stride
+    M, kp, _ = _s2d_select_matrix(k, b, stride)
+    wp = jnp.einsum(
+        "pq,qn->pn",
+        jnp.asarray(M, w.dtype),
+        w.reshape(k * k, cin * cout),
+        preferred_element_type=jnp.float32,
+    )
+    wp = wp.reshape(kp, kp, b * b, c * c, cin, cout).transpose(0, 1, 2, 4, 3, 5)
+    return wp.reshape(kp, kp, b * b * cin, c * c * cout).astype(w.dtype)
 
 
 @functools.lru_cache(maxsize=None)
