@@ -25,6 +25,7 @@ from rtm3d_tpu.nn.layers import (
     S2DConvLevel,
     depth_to_space,
     grouped_phase_bn,
+    phase_max_pool,
     space_to_depth,
 )
 from rtm3d_tpu.nn.spec import ShapeSpec
@@ -44,12 +45,20 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dilation: int = 1
+    # x arrives as the s2d-2 form of the full-res input (stride must be 2):
+    # conv1 runs on the s2d grid (exact, layers.s2d_conv_kernel) and emits
+    # the plain half-res map
+    s2d_input: bool = False
 
     @nn.compact
     def __call__(self, x, residual=None, train: bool = False):
         if residual is None:
             residual = x
-        out = Conv(self.features, 3, self.stride, self.dilation, name="conv1")(x)
+        if self.s2d_input:
+            assert self.stride == 2 and self.dilation == 1
+            out = S2DConv(self.features, 3, self.stride, 2, name="conv1")(x)
+        else:
+            out = Conv(self.features, 3, self.stride, self.dilation, name="conv1")(x)
         out = nn.relu(_bn("norm1", train)(out))
         out = Conv(self.features, 3, 1, self.dilation, name="conv2")(out)
         out = _bn("norm2", train)(out)
@@ -85,6 +94,11 @@ class Tree(nn.Module):
     level_root: bool = False
     root_dim: int = 0
     root_residual: bool = False
+    # x arrives as the s2d-2 form of the full-res input (train-only s2d
+    # backbone head, see DLABase): the MaxPool-2 downsample is exactly a max
+    # over the 4 phase channel groups, and tree1's stride-2 conv runs on the
+    # s2d grid — the full-res map is never materialised
+    s2d_input: bool = False
 
     @nn.compact
     def __call__(self, x, residual=None, children=None, train: bool = False):
@@ -96,7 +110,11 @@ class Tree(nn.Module):
 
         children = [] if children is None else list(children)
 
-        bottom = MaxPool(self.stride, self.stride)(x) if self.stride > 1 else x
+        if self.s2d_input:
+            assert self.stride == 2 and self.level == 1
+            bottom = phase_max_pool(x, 2)
+        else:
+            bottom = MaxPool(self.stride, self.stride)(x) if self.stride > 1 else x
         if self.in_channels != self.out_channels:
             residual = Conv(self.out_channels, 1, 1, padding=0, name="project_conv")(bottom)
             residual = _bn("project_norm", train)(residual)
@@ -106,9 +124,9 @@ class Tree(nn.Module):
             children.append(bottom)
 
         if self.level == 1:
-            x1 = BasicBlock(self.out_channels, self.stride, name="tree1")(
-                x, residual, train=train
-            )
+            x1 = BasicBlock(
+                self.out_channels, self.stride, s2d_input=self.s2d_input, name="tree1"
+            )(x, residual, train=train)
             x2 = BasicBlock(self.out_channels, 1, name="tree2")(x1, train=train)
             return Root(self.out_channels, self.root_residual, name="root")(
                 x2, x1, *children, train=train
@@ -187,11 +205,16 @@ class DLABase(nn.Module):
             # stride 2 consumes half the s2d grid — block 2 lands on the
             # plain half-res map, block 4 on an s2d-2 map restored below
             x = S2DConvLevel(ch[1], 3, 2, b, name="level1")(x, train)
-            if b == 4:
-                x = depth_to_space(x, 2)
+            # block 4: level1's output is an s2d-2 map. level2 consumes it
+            # directly (Tree s2d_input: phase-max downsample + s2d stride-2
+            # conv1) — restoring the 2x-res map cost ~9 ms/step of pure
+            # layout copies at b32 @1280x384; it is only materialised when
+            # level1 itself is a requested feature
+            s2d_l2 = b == 4
             if "level1" in self.kfns:
-                outs.append(x)
+                outs.append(depth_to_space(x, 2) if b == 4 else x)
         else:
+            s2d_l2 = False
             x = Conv(ch[0], 7, 1, name="base_conv")(x)
             x = nn.relu(_bn("base_norm", train)(x))
 
@@ -218,6 +241,7 @@ class DLABase(nn.Module):
                 stride=2,
                 level_root=lroot,
                 root_residual=self.residual_root,
+                s2d_input=(idx == 2 and s2d_l2),
                 name=f"level{idx}",
             )(x, train=train)
             if f"level{idx}" in self.kfns:

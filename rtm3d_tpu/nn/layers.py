@@ -155,6 +155,16 @@ def depth_to_space(x, b: int):
     return x.reshape(B, Hb * b, Wb * b, c)
 
 
+def phase_max_pool(x, b: int):
+    """MaxPool(b, b) stride b of the full-res map, computed on its s2d-b
+    form: the non-overlapping b x b windows are exactly the b*b phase
+    channel groups, so the pool is a channel-axis max — no window op, no
+    select-and-scatter backward."""
+    B, H, W, C = x.shape
+    c = C // (b * b)
+    return x.reshape(B, H, W, b * b, c).max(axis=3)
+
+
 def s2d_conv_kernel(w, b: int, stride: int = 1):
     """Exact space-to-depth reparameterisation of a torch-SAME-padded conv.
 
