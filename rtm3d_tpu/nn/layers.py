@@ -33,8 +33,45 @@ def torch_conv_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+class _ConvParams(nn.Module):
+    """Declares exactly ``nn.Conv``'s {kernel, bias} params — same scope path,
+    same init fns, same declaration order (so the path+counter-derived RNG
+    keys match bitwise) — WITHOUT applying the convolution. The fused-header
+    path (header.py) reads these to build one merged wide conv while the
+    param tree, checkpoints and the torch importer see the unchanged layout."""
+
+    features: int
+    in_features: int
+    kernel_size: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            xavier_conv_init,
+            (k, k, self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = None
+        if self.use_bias:
+            fan_in = self.in_features * k * k
+
+            def bias_init(key, shape, dtype=jnp.float32):
+                return torch_conv_bias_init(key, shape, dtype, fan_in)
+
+            bias = self.param("bias", bias_init, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class Conv(nn.Module):
-    """2D conv with torch-style symmetric padding and xavier kernel init."""
+    """2D conv with torch-style symmetric padding and xavier kernel init.
+
+    ``params_only=True`` declares the conv's params (``x`` is then the input
+    CHANNEL COUNT, an int) and returns ``(kernel, bias)`` instead of applying
+    — used by the fused header to merge parallel same-input convs into one
+    MXU-wide convolution without changing the param layout."""
 
     features: int
     kernel_size: int = 3
@@ -44,9 +81,13 @@ class Conv(nn.Module):
     padding: int | None = None  # default: torch 'same-ish' = dilation*(k-1)//2
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only: bool = False):
         k = self.kernel_size
         pad = self.padding if self.padding is not None else (k - 1) * self.dilation // 2
+        if params_only:
+            return _ConvParams(
+                self.features, int(x), k, self.use_bias, name="conv"
+            )()
         in_ch = x.shape[-1]
         fan_in = in_ch * k * k
 
@@ -88,15 +129,18 @@ class ConvBNReLU(nn.Module):
     relu: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = Conv(
+    def __call__(self, x, train: bool = False, conv_out=None, params_only: bool = False):
+        conv = Conv(
             self.features,
             self.kernel_size,
             self.stride,
             self.dilation,
             self.use_bias,
             name="conv",
-        )(x)
+        )
+        if params_only:
+            return conv(x, params_only=True)  # x = input channel count
+        x = conv_out if conv_out is not None else conv(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, name="bn"
         )(x)
@@ -120,21 +164,36 @@ class ConvLevel(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, first_out=None, params_only: bool = False):
         dil = self.dilation
         if isinstance(dil, int):
             dil = [dil] * self.num_convs
-        in_ch = x.shape[-1]
+        in_ch = int(x) if params_only else x.shape[-1]
         chans = [in_ch] * (self.num_convs - 1) + [self.out_channels]
+        if params_only:
+            # declare + return the FIRST conv's (kernel, bias); the fused
+            # header applies them as a slice of one merged wide conv
+            return ConvBNReLU(
+                chans[0],
+                self.kernel_size,
+                self.stride,
+                dil[0],
+                self.use_bias,
+                name="layer0",
+            )(in_ch, params_only=True)
         for i in range(self.num_convs):
-            x = ConvBNReLU(
+            layer = ConvBNReLU(
                 chans[i],
                 self.kernel_size,
                 self.stride if i == 0 else 1,
                 dil[i],
                 self.use_bias,
                 name=f"layer{i}",
-            )(x, train)
+            )
+            if i == 0 and first_out is not None:
+                x = layer(None, train, conv_out=first_out)
+            else:
+                x = layer(x, train)
         return x
 
 

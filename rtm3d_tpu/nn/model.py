@@ -36,6 +36,7 @@ class RTM3D(nn.Module):
     compute_dtype: str = "float32"
     remat: bool = False
     s2d_stem: bool = True
+    fuse_header_first: bool = True
 
     def _backbone(self):
         name = self.backbone_name.upper()
@@ -66,6 +67,7 @@ class RTM3D(nn.Module):
             num_classes=self.num_classes,
             mid_channels=self.out_channels,
             num_conv=self.header_num_conv,
+            fuse_first=self.fuse_header_first,
             name="detect_header",
         )(fused, train)
         # logits stay in compute dtype; loss/decode upcast as needed
@@ -83,6 +85,7 @@ def create_model(cfg: Config) -> RTM3D:
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         remat=cfg.TPU.REMAT,
         s2d_stem=bool(cfg.TPU.get("S2D_STEM", True)),
+        fuse_header_first=bool(cfg.TPU.get("FUSE_HEADER_FIRST", True)),
     )
 
 

@@ -35,12 +35,24 @@ def _key(module: nn.Module) -> str:
     return "/".join(module.path)
 
 
+def _unfused(model):
+    """The fused header computes its four first convs as one manual wide conv
+    (header.py), which method-interception cannot see; the int8 path needs
+    every conv to run through ``Conv.__call__``, so serve from an unfused
+    clone (exact same params/outputs — the fusion is a pure compute-graph
+    rearrangement)."""
+    if getattr(model, "fuse_header_first", False):
+        return model.clone(fuse_header_first=False)
+    return model
+
+
 def calibrate_act_scales(
     model, variables, batches: Iterable[jnp.ndarray]
 ) -> Dict[str, float]:
     """Absmax activation calibration: run eager (un-jitted) forwards over
     ``batches`` (arrays shaped like model input, already normalised the way
     the detect path feeds the model) and record the max |input| per Conv."""
+    model = _unfused(model)
     stats: Dict[str, float] = {}
 
     def interceptor(next_fun, args, kwargs, context):
@@ -101,6 +113,7 @@ def quantized_apply(model, act_scales: Dict[str, float]) -> Callable:
     Convs missing from ``act_scales`` (e.g. a config with extra layers added
     after calibration) fall back to the float path.
     """
+    model = _unfused(model)
 
     def interceptor(next_fun, args, kwargs, context):
         m = context.module

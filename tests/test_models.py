@@ -115,3 +115,41 @@ def test_model_jits_and_is_deterministic(base_prog):
     y2 = f(variables, x)
     for a, b in zip(y1, y2):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_header_first_conv_exact():
+    """The fused header (four first convs merged into one wide conv,
+    header.py fuse_first) is a pure compute-graph rearrangement: identical
+    param tree (paths, shapes AND bitwise init values — path-keyed RNG),
+    identical outputs, batch stats and gradients vs the unfused layout."""
+    from rtm3d_tpu.nn.header import RTM3DHeader
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 24, 32, 64), jnp.float32)
+    fused = RTM3DHeader(num_classes=3, mid_channels=64, num_conv=2, fuse_first=True)
+    plain = RTM3DHeader(num_classes=3, mid_channels=64, num_conv=2, fuse_first=False)
+    vf = fused.init(jax.random.PRNGKey(7), x, train=False)
+    vp = plain.init(jax.random.PRNGKey(7), x, train=False)
+
+    lf = jax.tree_util.tree_leaves_with_path(vf)
+    lp = jax.tree_util.tree_leaves_with_path(vp)
+    assert [p for p, _ in lf] == [p for p, _ in lp]
+    for (path, a), (_, b) in zip(lf, lp):
+        assert a.shape == b.shape and bool((a == b).all()), path
+
+    of, muf = fused.apply(vf, x, train=True, mutable=["batch_stats"])
+    op, mup = plain.apply(vp, x, train=True, mutable=["batch_stats"])
+    for a, b in zip(of, op):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(muf), jax.tree_util.tree_leaves(mup)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def loss(params, mod, stats):
+        o = mod.apply({"params": params, "batch_stats": stats}, x, train=False)
+        return sum(jnp.sum(t**2) for t in o)
+
+    gf = jax.grad(lambda p: loss(p, fused, vf["batch_stats"]))(vf["params"])
+    gp = jax.grad(lambda p: loss(p, plain, vp["batch_stats"]))(vp["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
