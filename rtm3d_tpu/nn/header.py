@@ -10,16 +10,20 @@ dilation 6) followed by a 3x3 output conv with bias:
 The 8-channel vertex-heatmap branch is dead in the reference (header.py:20-22)
 and intentionally not built.
 
-TPU-native fused-first mode (default): the four branches' FIRST convs all
-read the SAME fused stride-4 map with identical geometry (3x3, dilation 6,
-256->256), so they are computed as ONE 256->1024 convolution — output
-channels of a conv are independent dot products, so concatenating the four
-kernels along the output axis is exact per entry. This reads the ~0.5 GB
-input map once instead of four times and runs the MXU at full output width
-(trace-measured 11% on the block, round-2 profile). Param layout, init RNG
-and checkpoints are UNCHANGED: each branch still declares its own
+Fused-first mode (``fuse_first``, OFF by default): the four branches' FIRST
+convs all read the SAME fused stride-4 map with identical geometry (3x3,
+dilation 6, 256->256), so they can be computed as ONE 256->1024 convolution
+— output channels of a conv are independent dot products, so concatenating
+the four kernels along the output axis is exact per entry. Param layout,
+init RNG and checkpoints are UNCHANGED: each branch still declares its own
 `convs/layer0/conv/conv/{kernel,bias}` (layers._ConvParams) and the merge
-happens in the forward. The int8 serving path disables fusion so its
+happens in the forward. MEASURED RESULT (v5e-1, DLA-34 b32 @1280x384 bf16
+train step, single-process A/B): fused 360.5 ms vs unfused 356.9 ms — the
+round-2 trace's 11% isolated-block win does NOT survive at the full-step
+level (the four reads of the shared input map were already overlapped with
+MXU compute; the merged conv's 2 GB wide output buys nothing back). Kept as
+an exactness-tested option (cfg.TPU.FUSE_HEADER_FIRST) and a documented
+negative result. The int8 serving path always runs unfused so its
 Conv-interception sees every conv (nn/quant.py).
 """
 

@@ -36,7 +36,7 @@ class RTM3D(nn.Module):
     compute_dtype: str = "float32"
     remat: bool = False
     s2d_stem: bool = True
-    fuse_header_first: bool = True
+    fuse_header_first: bool = False
 
     def _backbone(self):
         name = self.backbone_name.upper()
@@ -85,7 +85,7 @@ def create_model(cfg: Config) -> RTM3D:
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         remat=cfg.TPU.REMAT,
         s2d_stem=bool(cfg.TPU.get("S2D_STEM", True)),
-        fuse_header_first=bool(cfg.TPU.get("FUSE_HEADER_FIRST", True)),
+        fuse_header_first=bool(cfg.TPU.get("FUSE_HEADER_FIRST", False)),
     )
 
 
