@@ -43,6 +43,32 @@ def test_upsample_bilinear_init_channel0():
     assert np.allclose(b, [0.25, 0.75, 0.75, 0.25])
 
 
+def test_upsample_phase_decomposition_exact():
+    """The sub-pixel phase path must equal lax.conv_transpose — forward and
+    both gradients (it is an exact reindexing of the same taps)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 5, 7, 6), jnp.float32)
+    mod_fast = UpSample(features=4, phase_decompose=True)
+    mod_ref = UpSample(features=4)
+    params = mod_fast.init(jax.random.PRNGKey(2), x)
+    g = jnp.asarray(rng.randn(2, 10, 14, 4), jnp.float32)
+
+    def loss(mod):
+        return lambda p, x: jnp.sum(mod.apply(p, x) * g)
+
+    y_fast = mod_fast.apply(params, x)
+    y_ref = mod_ref.apply(params, x)
+    assert np.allclose(np.asarray(y_fast), np.asarray(y_ref), atol=1e-5)
+    gp_f, gx_f = jax.grad(loss(mod_fast), argnums=(0, 1))(params, x)
+    gp_r, gx_r = jax.grad(loss(mod_ref), argnums=(0, 1))(params, x)
+    assert np.allclose(np.asarray(gx_f), np.asarray(gx_r), atol=1e-4)
+    assert np.allclose(
+        np.asarray(gp_f["params"]["kernel"]),
+        np.asarray(gp_r["params"]["kernel"]),
+        atol=1e-4,
+    )
+
+
 def test_resnet18_feature_pyramid():
     m = PoseResNet(depth=18)
     x = jnp.zeros((1, 64, 96, 3))
