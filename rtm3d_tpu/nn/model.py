@@ -90,13 +90,20 @@ def create_model(cfg: Config) -> RTM3D:
 
 
 def init_model(cfg: Config, rng: jax.Array, input_size=None):
-    """Initialise variables with a dummy batch. Returns (model, variables)."""
+    """Initialise variables with a dummy batch. Returns (model, variables).
+
+    ``model.init`` is run under ``jax.jit``: un-jitted flax init executes the
+    whole forward op-by-op (~12 s of single-core CPU per call — the dominant
+    cost of the fast test suite), while the jitted init program lands in the
+    persistent compilation cache and replays in well under a second."""
     model = create_model(cfg)
     if input_size is None:
         input_size = cfg.INPUT_SIZE
     w, h = int(input_size[0]), int(input_size[1])
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = model.init(rng, dummy, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, dummy, train=False
+    )
     return model, variables
 
 

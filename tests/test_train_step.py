@@ -122,12 +122,12 @@ def test_train_step_decreases_loss(rng, base_prog):
     step_fn = base_prog["step_fn"]
     batch = synth_batch(rng)
     losses = []
-    for i in range(8):
+    for i in range(4):
         state, metrics = step_fn(state, batch)
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
-    assert int(state.step) == 8
+    assert int(state.step) == 4
     items = np.asarray(metrics["loss_items"])
     assert items.shape == (5,)
     assert items[-1] == pytest.approx(float(metrics["loss"]), rel=1e-5)
