@@ -151,11 +151,13 @@ def test_import_torch_resnet18_forward_parity(rng):
 
     model = PoseResNet(depth=18)
     x = rng.randn(1, 64, 96, 3).astype(np.float32)
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
     variables, report = import_torch_weights(variables, sd)
     assert not report["missed"], report["missed"][:10]
 
-    feats = model.apply(variables, jnp.asarray(x), train=False)
+    feats = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.asarray(x)
+    )
     with torch.no_grad():
         t_feats = net(torch.tensor(x.transpose(0, 3, 1, 2)))
     for f, tf in zip(feats, t_feats):

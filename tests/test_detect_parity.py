@@ -158,7 +158,9 @@ def test_full_stack_detect_parity(twin, rng):
     t_np = tuple(np.ascontiguousarray(t.numpy()) for t in t_logits)
     ref_dec = _torch_reference_decode(t_np, 0.35, 8)[0]
 
-    j_logits = model.apply(variables, jnp.asarray(x), train=False)
+    j_logits = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.asarray(x)
+    )
     j_dec = jax.device_get(
         decode_detections(
             tuple(jnp.asarray(a) for a in j_logits), 0.35, 8, 4.0, approx_topk=False

@@ -230,7 +230,9 @@ def test_full_dla34_model_parity(rng):
     assert len(report["loaded"]) == n_expected  # every torch tensor consumed
 
     x = rng.randn(1, 64, 64, 3).astype(np.float32) * 0.5
-    got = model.apply(variables, jnp.asarray(x), train=False)
+    got = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.asarray(x)
+    )
     with torch.no_grad():
         ref = tm(torch.tensor(x.transpose(0, 3, 1, 2)))
     for g, r in zip(got, ref):

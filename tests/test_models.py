@@ -72,8 +72,8 @@ def test_upsample_phase_decomposition_exact():
 def test_resnet18_feature_pyramid():
     m = PoseResNet(depth=18)
     x = jnp.zeros((1, 64, 96, 3))
-    vars_ = m.init(jax.random.PRNGKey(0), x)
-    feats = m.apply(vars_, x)
+    vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    feats = jax.jit(m.apply)(vars_, x)
     assert [f.shape for f in feats] == [
         (1, 16, 24, 64),
         (1, 8, 12, 128),
@@ -88,8 +88,8 @@ def test_resnet18_feature_pyramid():
 def test_dla34_feature_pyramid():
     m = DLABase()
     x = jnp.zeros((1, 64, 64, 3))
-    vars_ = m.init(jax.random.PRNGKey(0), x)
-    feats = m.apply(vars_, x)
+    vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    feats = jax.jit(m.apply)(vars_, x)
     assert [f.shape for f in feats] == [
         (1, 16, 16, 64),
         (1, 8, 8, 128),
@@ -114,7 +114,7 @@ def test_full_model_logit_shapes(backbone, kfns):
     cfg.INPUT_SIZE = (96, 64)  # (W, H)
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     x = jnp.zeros((2, 64, 96, 3))
-    logits = model.apply(variables, x, train=False)
+    logits = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
     assert logits[0].shape == (2, 16, 24, 3)   # heatmap, stride 4
     assert logits[1].shape == (2, 16, 24, 16)  # 8 vertices x (dx,dy)
     assert logits[2].shape == (2, 16, 24, 2)
@@ -125,9 +125,9 @@ def test_full_model_logit_shapes(backbone, kfns):
 def test_train_mode_updates_batch_stats(base_prog):
     model, variables = base_prog["model"], base_prog["variables"]
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
-    logits, mutated = model.apply(
-        variables, x, train=True, mutable=["batch_stats"]
-    )
+    logits, mutated = jax.jit(
+        lambda v, x: model.apply(v, x, train=True, mutable=["batch_stats"])
+    )(variables, x)
     old = jax.tree_util.tree_leaves(variables["batch_stats"])
     new = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
@@ -153,8 +153,12 @@ def test_fused_header_first_conv_exact():
     x = jnp.asarray(np.random.RandomState(0).randn(2, 24, 32, 64), jnp.float32)
     fused = RTM3DHeader(num_classes=3, mid_channels=64, num_conv=2, fuse_first=True)
     plain = RTM3DHeader(num_classes=3, mid_channels=64, num_conv=2, fuse_first=False)
-    vf = fused.init(jax.random.PRNGKey(7), x, train=False)
-    vp = plain.init(jax.random.PRNGKey(7), x, train=False)
+    vf = jax.jit(fused.init, static_argnames=("train",))(
+        jax.random.PRNGKey(7), x, train=False
+    )
+    vp = jax.jit(plain.init, static_argnames=("train",))(
+        jax.random.PRNGKey(7), x, train=False
+    )
 
     lf = jax.tree_util.tree_leaves_with_path(vf)
     lp = jax.tree_util.tree_leaves_with_path(vp)
@@ -162,8 +166,12 @@ def test_fused_header_first_conv_exact():
     for (path, a), (_, b) in zip(lf, lp):
         assert a.shape == b.shape and bool((a == b).all()), path
 
-    of, muf = fused.apply(vf, x, train=True, mutable=["batch_stats"])
-    op, mup = plain.apply(vp, x, train=True, mutable=["batch_stats"])
+    of, muf = jax.jit(
+        lambda v, x: fused.apply(v, x, train=True, mutable=["batch_stats"])
+    )(vf, x)
+    op, mup = jax.jit(
+        lambda v, x: plain.apply(v, x, train=True, mutable=["batch_stats"])
+    )(vp, x)
     for a, b in zip(of, op):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     for a, b in zip(

@@ -45,7 +45,7 @@ def test_quantized_model_logits_and_jit(rng):
     # every layers.Conv got a scale (ResNet convs + KFPN 1x1s + header)
     assert len(scales) > 20
     fn = quantized_apply(model, scales)
-    ref = model.apply(variables, x, train=False)
+    ref = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
     got = jax.jit(lambda v, i: fn(v, i))(variables, x)
     for r, g in zip(ref, got):
         r, g = np.asarray(r), np.asarray(g)

@@ -83,7 +83,9 @@ def dla_pair():
     x = jnp.asarray(rng_np.rand(2, 32, 64, 3).astype(np.float32))
     plain = DLABase(kfns=("level0", "level1", "level2"), channels=ch, s2d_stem=False)
     s2d = DLABase(kfns=("level0", "level1", "level2"), channels=ch, s2d_stem=True)
-    variables = plain.init(jax.random.PRNGKey(7), x, train=False)
+    variables = jax.jit(plain.init, static_argnames=("train",))(
+        jax.random.PRNGKey(7), x, train=False
+    )
     return plain, s2d, variables, x
 
 
@@ -92,12 +94,12 @@ def test_dla_s2d_param_tree_identical(rng):
 
     ch = (4, 8, 12, 16, 24, 32)
     x = jnp.zeros((1, 32, 64, 3), jnp.float32)
-    v_plain = DLABase(channels=ch, s2d_stem=False).init(
-        jax.random.PRNGKey(7), x, train=False
-    )
-    v_s2d = DLABase(channels=ch, s2d_stem=True).init(
-        jax.random.PRNGKey(7), x, train=False
-    )
+    v_plain = jax.jit(
+        DLABase(channels=ch, s2d_stem=False).init, static_argnames=("train",)
+    )(jax.random.PRNGKey(7), x, train=False)
+    v_s2d = jax.jit(
+        DLABase(channels=ch, s2d_stem=True).init, static_argnames=("train",)
+    )(jax.random.PRNGKey(7), x, train=False)
     paths = lambda v: {
         jax.tree_util.keystr(p): tuple(a.shape)
         for p, a in jax.tree_util.tree_leaves_with_path(v)
@@ -116,8 +118,8 @@ def test_dla_s2d_eval_uses_plain_path(dla_pair):
     efficient; measured slower with s2d on v5e) — eval outputs must be
     bit-identical to the plain path."""
     plain, s2d, variables, x = dla_pair
-    ref = plain.apply(variables, x, train=False)
-    got = s2d.apply(variables, x, train=False)
+    ref = jax.jit(lambda v, x: plain.apply(v, x, train=False))(variables, x)
+    got = jax.jit(lambda v, x: s2d.apply(v, x, train=False))(variables, x)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(g, r)
 
@@ -126,10 +128,12 @@ def test_dla_s2d_forward_equivalence_train(dla_pair):
     """train mode: batch stats (means/vars over the phase-grouped layout)
     must match the full-res per-channel stats."""
     plain, s2d, variables, x = dla_pair
-    ref, mut_ref = plain.apply(
-        variables, x, train=True, mutable=["batch_stats"]
-    )
-    got, mut_got = s2d.apply(variables, x, train=True, mutable=["batch_stats"])
+    ref, mut_ref = jax.jit(
+        lambda v, x: plain.apply(v, x, train=True, mutable=["batch_stats"])
+    )(variables, x)
+    got, mut_got = jax.jit(
+        lambda v, x: s2d.apply(v, x, train=True, mutable=["batch_stats"])
+    )(variables, x)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(g, r, rtol=1e-4, atol=1e-4)
     for (pr, r), (pg, g) in zip(
