@@ -65,7 +65,9 @@ def test_heatmap_properties(rng):
     labels = _random_labels(rng, B=1, N=4, img_hw=(128, 160))
     labels["mask"][:] = True
     labels["noise_mask"][:] = False
-    got = build_targets({k: jnp.asarray(v) for k, v in labels.items()}, feat_hw, 3)
+    got = jax.jit(build_targets, static_argnums=(1, 2))(
+        {k: jnp.asarray(v) for k, v in labels.items()}, feat_hw, 3
+    )
     hm = np.asarray(got["m_hm"])[0]
     assert hm.min() >= 0 and hm.max() <= 1.0
     # each valid object's center pixel is exactly 1 in its class channel
@@ -81,7 +83,9 @@ def test_noise_mask_damps_peak(rng):
     labels = _random_labels(rng, B=1, N=1, img_hw=(128, 160))
     labels["mask"][:] = True
     labels["noise_mask"][:] = True
-    got = build_targets({k: jnp.asarray(v) for k, v in labels.items()}, feat_hw, 3)
+    got = jax.jit(build_targets, static_argnums=(1, 2))(
+        {k: jnp.asarray(v) for k, v in labels.items()}, feat_hw, 3
+    )
     hm = np.asarray(got["m_hm"])[0]
     assert np.isclose(hm.max(), 0.9999, atol=1e-6)
 
@@ -90,7 +94,9 @@ def test_padding_slots_are_inert(rng):
     feat_hw = (32, 40)
     labels = _random_labels(rng, B=1, N=6, img_hw=(128, 160))
     labels["mask"][:] = False
-    got = build_targets({k: jnp.asarray(v) for k, v in labels.items()}, feat_hw, 3)
+    got = jax.jit(build_targets, static_argnums=(1, 2))(
+        {k: jnp.asarray(v) for k, v in labels.items()}, feat_hw, 3
+    )
     assert np.asarray(got["m_hm"]).sum() == 0
     assert not np.asarray(got["mask_3d"]).any()
     assert np.isfinite(np.asarray(got["v_coor_off"])).all()
