@@ -143,6 +143,7 @@ def test_model_jits_and_is_deterministic(base_prog):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # exercises the OFF-by-default fuse_first option
 def test_fused_header_first_conv_exact():
     """The fused header (four first convs merged into one wide conv,
     header.py fuse_first) is a pure compute-graph rearrangement: identical

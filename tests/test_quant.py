@@ -53,6 +53,8 @@ def test_quantized_model_logits_and_jit(rng):
         assert np.abs(g - r).max() < 0.15 * rng_, np.abs(g - r).max() / rng_
 
 
+@pytest.mark.slow  # the int8 logit-error bound runs fast; the full detect
+# program variant (decode+solver compile) moves to the slow set
 def test_quantized_detect_step(rng):
     """The detect step accepts the quantized apply_fn and produces the same
     top candidates as the float path on a well-separated heatmap."""
