@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rtm3d_tpu.nn.layers import Conv
 from rtm3d_tpu.nn.quant import (
