@@ -271,14 +271,6 @@ def overlap_matrix(metric: str, dets: List[Dict], gts: List[Dict]) -> np.ndarray
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _gt_in_difficulty(gt: Dict, difficulty: str) -> bool:
-    min_h, max_occ, max_trunc = DIFFICULTY[difficulty]
-    h = gt["bbox"][3] - gt["bbox"][1]
-    return (
-        h >= min_h and gt["occluded"] <= max_occ and gt["truncated"] <= max_trunc
-    )
-
-
 # classes whose gt boxes are "ignored neighbours" when evaluating a class:
 # detections matching them count neither TP nor FP (official devkit rule)
 NEIGHBOR_CLASSES = {
@@ -295,6 +287,8 @@ def evaluate_ap(
     metric: str = "3d",
     difficulty: str = "moderate",
     with_aos: bool = False,
+    min_overlap: float | None = None,
+    min_height: float | None = None,
 ) -> float | Tuple[float, float]:
     """AP_R40 over a dataset. gts/dets: per image lists of parsed objects.
 
@@ -319,9 +313,21 @@ def evaluate_ap(
         # the devkit defines AOS only on 2D bbox matching; a bev/3d "AOS"
         # would be a silently meaningless number
         raise ValueError("with_aos requires metric='bbox' (devkit semantics)")
-    min_ov = MIN_OVERLAP[metric][0 if class_name == "Car" else 1]
+    # min_overlap overrides the official bar (0.7 Car / 0.5 others) — used
+    # by tools/ap_parity.py to compare undertrained checkpoints whose
+    # detections exist but sit below the devkit bar on both stacks.
+    min_ov = (
+        float(min_overlap)
+        if min_overlap is not None
+        else MIN_OVERLAP[metric][0 if class_name == "Car" else 1]
+    )
     neighbors = NEIGHBOR_CLASSES.get(class_name, ())
-    min_height = DIFFICULTY[difficulty][0]
+    # min_height overrides the devkit's difficulty bucket heights
+    # (40/25/25 px assume KITTI's 1242x375 frames) — at small synthetic
+    # resolutions every gt falls below them and total_valid_gt would be 0.
+    gt_min_h, max_occ, max_trunc = DIFFICULTY[difficulty]
+    if min_height is not None:
+        gt_min_h = float(min_height)
 
     TP, FP, SHADOW = 0, 1, 2  # SHADOW: valid gt consumed by an ignored det
     events: List = []  # (score, kind)
@@ -330,7 +336,12 @@ def evaluate_ap(
         valid, ignored, dontcare = [], [], []
         for o in gt_list:
             if o["type"] == class_name:
-                (valid if _gt_in_difficulty(o, difficulty) else ignored).append(o)
+                in_bucket = (
+                    (o["bbox"][3] - o["bbox"][1]) >= gt_min_h
+                    and o["occluded"] <= max_occ
+                    and o["truncated"] <= max_trunc
+                )
+                (valid if in_bucket else ignored).append(o)
             elif o["type"] in neighbors:
                 ignored.append(o)
             elif o["type"] == "DontCare":
@@ -371,7 +382,7 @@ def evaluate_ap(
         used_valid = np.zeros(len(valid), bool)
         used_ign = np.zeros(len(ignored), bool)
         for i, det in enumerate(d):
-            small = (det["bbox"][3] - det["bbox"][1]) < min_height
+            small = (det["bbox"][3] - det["bbox"][1]) < gt_min_h
             # 1) valid gt first (devkit prefers valid over ignored)
             if len(valid):
                 cand = np.where(~used_valid & (ov_valid[i] >= min_ov))[0]

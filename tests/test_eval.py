@@ -297,3 +297,25 @@ def test_aos_tracks_orientation_quality():
     assert ap_g == pytest.approx(1.0) and ap_f == pytest.approx(1.0)
     assert aos_g == pytest.approx(ap_g)
     assert aos_f == pytest.approx(0.0, abs=1e-6)
+
+
+def test_ap_min_overlap_and_min_height_overrides():
+    """Harness knobs for undertrained checkpoints (tools/ap_parity.py):
+    min_height admits gt below the devkit difficulty buckets, min_overlap
+    lowers the IoU bar. Both default to exact devkit semantics."""
+    # gt only 20 px tall: below every devkit bucket -> AP 0 at defaults
+    gt = _obj(bbox=(0, 0, 30, 20))
+    det = _obj(bbox=(0, 0, 24, 20), score=0.9)  # IoU 0.8 vs gt
+    gts, dets = [[gt]], [[det]]
+    assert evaluate_ap(gts, dets, "Car", "bbox", "easy") == 0.0
+    assert evaluate_ap(
+        gts, dets, "Car", "bbox", "easy", min_height=0.0
+    ) == pytest.approx(1.0, abs=0.03)
+    # a looser detection (IoU ~0.5): fails the 0.7 Car bar, passes at 0.45
+    det2 = _obj(bbox=(0, 0, 15, 20), score=0.9)
+    assert (
+        evaluate_ap(gts, [[det2]], "Car", "bbox", "easy", min_height=0.0) == 0.0
+    )
+    assert evaluate_ap(
+        gts, [[det2]], "Car", "bbox", "easy", min_height=0.0, min_overlap=0.45
+    ) == pytest.approx(1.0, abs=0.03)

@@ -98,6 +98,8 @@ def run_ap_parity(
     save_every: int = 25,
     score_thresh: float | None = None,
     residual_thresh: float | None = None,
+    min_overlap: float | None = None,
+    min_height: float | None = None,
 ) -> dict:
     import pickle
 
@@ -293,7 +295,10 @@ def run_ap_parity(
         apply_fn=_int8_apply(cfg, model, eval_vars, ds, batch),
     )
 
-    ap = _score_both(data, res_j, res_t, res_q)
+    ap = _score_both(
+        data, res_j, res_t, res_q,
+        min_overlap=min_overlap, min_height=min_height,
+    )
     out = {
         "config": {
             "backbone": "RESNET-18", "input": [w, h], "steps": steps,
@@ -301,6 +306,8 @@ def run_ap_parity(
             "num_test": num_test,
             "score_thresh": float(cfg.DETECTOR.SCORE_THRESH),
             "residual_thresh": float(cfg.DETECTOR.RESIDUAL_THRESH),
+            "min_overlap": min_overlap,
+            "min_height": min_height,
         },
         "loss_jax_first_last": [loss_j[0], loss_j[-1]],
         "loss_torch_first_last": [loss_t[0], loss_t[-1]],
@@ -414,7 +421,7 @@ def _detect_torch(cfg, twin, ds, batch, out_dir):
         write_results(out_dir, name, detections_to_lines(det_i, names, 0) if n else [])
 
 
-def _score_both(data, res_j, res_t, res_q=None):
+def _score_both(data, res_j, res_t, res_q=None, min_overlap=None, min_height=None):
     from rtm3d_tpu.eval.ap import evaluate_directories
 
     with open(os.path.join(data, "ImageSets", "test.txt")) as f:
@@ -424,7 +431,10 @@ def _score_both(data, res_j, res_t, res_q=None):
     for cls in ("Car", "Pedestrian", "Cyclist"):
         for metric in ("bbox", "bev", "3d"):
             for diff in ("easy", "moderate", "hard"):
-                kw = dict(class_name=cls, metric=metric, difficulty=diff)
+                kw = dict(
+                    class_name=cls, metric=metric, difficulty=diff,
+                    min_overlap=min_overlap, min_height=min_height,
+                )
                 a_j = evaluate_directories(gt_dir, res_j, names, **kw)
                 a_t = evaluate_directories(gt_dir, res_t, names, **kw)
                 key = f"{cls}_{metric}_{diff}"
@@ -454,6 +464,16 @@ def main(argv=None):
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--score-thresh", type=float, default=None)
     p.add_argument("--residual-thresh", type=float, default=None)
+    p.add_argument(
+        "--min-overlap", type=float, default=None,
+        help="override the devkit IoU bar (0.7 Car / 0.5 others) — for "
+        "comparing undertrained checkpoints whose detections sit below it",
+    )
+    p.add_argument(
+        "--min-height", type=float, default=None,
+        help="override the devkit difficulty min bbox heights (40/25/25 px "
+        "assume 1242x375 frames; small synthetic gt falls below them)",
+    )
     args = p.parse_args(argv)
     out = run_ap_parity(
         args.work_dir,
@@ -464,6 +484,8 @@ def main(argv=None):
         batch=args.batch,
         score_thresh=args.score_thresh,
         residual_thresh=args.residual_thresh,
+        min_overlap=args.min_overlap,
+        min_height=args.min_height,
     )
     print(json.dumps(out, indent=2))
     if args.out:
