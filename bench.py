@@ -2,9 +2,11 @@
 
 Measures end-to-end jitted inference — backbone + KFPN + header + heatmap
 decode + batched LM 3D recovery — images/sec on the local accelerator,
-batch 64 at 1280x384 (the KITTI rect resolution the reference trains at,
-rtm3d_dla34_kitti.yaml INPUT_SIZE 1280 with IS_RECT; batch 64 is the
-throughput-optimal serving batch on v5e — 360 vs 208 img/s at batch 8).
+batch 128 at 1280x384 (the KITTI rect resolution the reference trains at,
+rtm3d_dla34_kitti.yaml INPUT_SIZE 1280 with IS_RECT). Batch scaling on
+v5e-1, trace-measured device time: 208 (b8) / 361 (b64) / 384 (b96) /
+398 (b128) / 383 (b192) img/s; b256 exceeds HBM — batch 128 is the
+throughput-optimal serving batch.
 
 Prints ONE JSON line. ``vs_baseline`` is relative to the upstream RTM3D
 paper's published DLA-34 runtime (0.055 s/image ~= 18.2 FPS on a GTX 1080Ti,
@@ -19,7 +21,7 @@ import time
 import numpy as np
 
 PAPER_FPS = 18.2  # RTM3D paper DLA-34, GTX 1080Ti
-BATCH = 64
+BATCH = 128
 H, W = 384, 1280
 
 
@@ -101,7 +103,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "detect_images_per_sec_dla34_b64_1280x384",
+                "metric": "detect_images_per_sec_dla34_b128_1280x384",
                 "value": round(ips, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(ips / PAPER_FPS, 3),
