@@ -49,23 +49,38 @@ def _unfused(model):
 def calibrate_act_scales(
     model, variables, batches: Iterable[jnp.ndarray]
 ) -> Dict[str, float]:
-    """Absmax activation calibration: run eager (un-jitted) forwards over
-    ``batches`` (arrays shaped like model input, already normalised the way
-    the detect path feeds the model) and record the max |input| per Conv."""
+    """Absmax activation calibration over ``batches`` (arrays shaped like
+    model input, already normalised the way the detect path feeds the
+    model): the max |input| per Conv.
+
+    The sweep runs as ONE jitted program per batch shape: the interceptor
+    collects per-Conv absmax *tracers* during tracing and the program
+    returns them alongside nothing else — XLA dead-code-eliminates the
+    model outputs and fuses the reductions into the forward. (The previous
+    eager sweep executed the whole model op-by-op: ~10 s of single-core CPU
+    per batch at test scale, minutes on the serving CLI.)"""
     model = _unfused(model)
     stats: Dict[str, float] = {}
 
-    def interceptor(next_fun, args, kwargs, context):
-        m = context.module
-        if isinstance(m, Conv) and context.method_name == "__call__":
-            k = _key(m)
-            a = float(jnp.max(jnp.abs(args[0].astype(jnp.float32))))
-            stats[k] = max(stats.get(k, 0.0), a)
-        return next_fun(*args, **kwargs)
+    def batch_maxes(b):
+        traced: Dict[str, jnp.ndarray] = {}
 
-    with nn.intercept_methods(interceptor):
-        for b in batches:
+        def interceptor(next_fun, args, kwargs, context):
+            m = context.module
+            if isinstance(m, Conv) and context.method_name == "__call__":
+                k = _key(m)
+                a = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                traced[k] = jnp.maximum(traced[k], a) if k in traced else a
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(interceptor):
             model.apply(variables, b)
+        return traced
+
+    fn = jax.jit(batch_maxes)
+    for b in batches:
+        for k, v in jax.device_get(fn(b)).items():
+            stats[k] = max(stats.get(k, 0.0), float(v))
     return stats
 
 
