@@ -53,10 +53,12 @@ def test_ema_tracks_params(ema_run):
     assert ev["params"] is state.ema_params
 
 
-def test_gradient_accumulation_defers_updates(rng):
+def test_gradient_accumulation_defers_updates(rng, base_prog):
     cfg = small_cfg()
     cfg.SOLVER.ACCUMULATE_STEPS = 2
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    # ACCUMULATE_STEPS only changes the optimizer wrapping — params are the
+    # canonical init, so reuse the shared fixture's (suite wall-time)
+    model, variables = base_prog["model"], base_prog["variables"]
     tx, _ = build_optimizer(cfg, variables["params"])
     state = TrainState.create(variables, tx)
     step_fn = make_train_step(model, cfg, tx)

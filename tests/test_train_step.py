@@ -139,10 +139,12 @@ def test_eval_loss_step(rng, base_prog):
     assert np.isfinite(float(out["loss"]))
 
 
-def test_frozen_scope_gets_no_update(rng):
+def test_frozen_scope_gets_no_update(rng, base_prog):
     cfg = small_cfg()
     cfg.SOLVER.EXCLUDE_SCOPE = ("backbone",)
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    # EXCLUDE_SCOPE only masks the optimizer — params are the canonical
+    # init, so reuse the shared fixture's (suite wall-time)
+    model, variables = base_prog["model"], base_prog["variables"]
     tx, _ = build_optimizer(cfg, variables["params"])
     state = TrainState.create(variables, tx)
     step_fn = make_train_step(model, cfg, tx)
