@@ -319,3 +319,56 @@ def test_ap_min_overlap_and_min_height_overrides():
     assert evaluate_ap(
         gts, [[det2]], "Car", "bbox", "easy", min_height=0.0, min_overlap=0.45
     ) == pytest.approx(1.0, abs=0.03)
+
+
+def test_bootstrap_cis_identical_and_perturbed(tmp_path):
+    """tools/ap_parity.py bootstrap_cis: identical result dirs give a
+    degenerate [0, 0] delta CI; a stack missing one image's detection gets
+    a CI that brackets its point delta and stays non-positive."""
+    import os
+
+    from rtm3d_tpu.eval.ap import evaluate_directories
+    from tools.ap_parity import bootstrap_cis
+
+    names = [f"{i:06d}" for i in range(6)]
+    data = tmp_path / "data"
+    os.makedirs(data / "ImageSets")
+    os.makedirs(data / "training" / "label_2")
+    gt_line = "Car 0.0 0 0.1 100 50 200 150 1.5 1.6 3.9 1.0 1.6 12.0 0.2"
+    det_line = gt_line + " 0.9"
+    for d in ("res_j", "res_t", "res_q"):
+        os.makedirs(tmp_path / d)
+    (data / "ImageSets" / "test.txt").write_text("\n".join(names))
+    for i, name in enumerate(names):
+        (data / "training" / "label_2" / f"{name}.txt").write_text(gt_line)
+        (tmp_path / "res_j" / f"{name}.txt").write_text(det_line)
+        (tmp_path / "res_t" / f"{name}.txt").write_text(det_line)
+        # int8 leg misses image 0's detection
+        (tmp_path / "res_q" / f"{name}.txt").write_text(
+            "" if i == 0 else det_line
+        )
+
+    out = bootstrap_cis(
+        str(data),
+        {
+            "jax": str(tmp_path / "res_j"),
+            "torch": str(tmp_path / "res_t"),
+            "int8": str(tmp_path / "res_q"),
+        },
+        n_resamples=200,
+    )
+    assert out["n_images"] == 6
+    cell = out["Car_bbox_moderate"]
+    assert cell["delta_ci95"] == [0.0, 0.0]  # identical stacks: no variance
+    lo, hi = cell["delta_int8_ci95"]
+    gt_dir = str(data / "training" / "label_2")
+    point = 100.0 * (
+        evaluate_directories(gt_dir, str(tmp_path / "res_q"), names,
+                             class_name="Car", metric="bbox",
+                             difficulty="moderate")
+        - evaluate_directories(gt_dir, str(tmp_path / "res_j"), names,
+                               class_name="Car", metric="bbox",
+                               difficulty="moderate")
+    )
+    assert point < 0.0
+    assert lo <= point <= hi and lo < 0.0 and hi <= 0.0

@@ -27,6 +27,8 @@ import json
 import os
 import sys
 
+from typing import Dict
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -100,6 +102,7 @@ def run_ap_parity(
     residual_thresh: float | None = None,
     min_overlap: float | None = None,
     min_height: float | None = None,
+    bootstrap: int = 0,
 ) -> dict:
     import pickle
 
@@ -316,6 +319,13 @@ def run_ap_parity(
         "final_drift": abs(loss_j[-1] - loss_t[-1]) / max(abs(loss_t[-1]), 1e-9),
         "ap": ap,
     }
+    if bootstrap:
+        progress(f"bootstrap: {bootstrap} resamples over {num_test} test images")
+        out["bootstrap"] = bootstrap_cis(
+            data, {"jax": res_j, "torch": res_t, "int8": res_q},
+            n_resamples=bootstrap, min_overlap=min_overlap,
+            min_height=min_height,
+        )
     return out
 
 
@@ -450,6 +460,79 @@ def _score_both(data, res_j, res_t, res_q=None, min_overlap=None, min_height=Non
     return out
 
 
+def bootstrap_cis(
+    data: str,
+    res_dirs: Dict[str, str],
+    n_resamples: int = 500,
+    min_overlap: float | None = None,
+    min_height: float | None = None,
+    seed: int = 0,
+) -> dict:
+    """Percentile-bootstrap 95% CIs over the test images for the jax-torch
+    and int8-jax AP deltas (moderate difficulty, per class x metric).
+
+    Every stack is re-scored on the SAME image draw, so the interval
+    measures split-level metric variance — the yardstick the point deltas
+    must be judged against (a |delta| inside the same-weights int8 CI is
+    metric noise, not stack divergence). Image dicts are shared across
+    resampled duplicates; evaluate_ap never mutates them."""
+    from rtm3d_tpu.eval.ap import evaluate_ap, parse_kitti_line
+
+    with open(os.path.join(data, "ImageSets", "test.txt")) as f:
+        names = sorted(f.read().splitlines())
+    gt_dir = os.path.join(data, "training", "label_2")
+
+    def load(dir_, with_score):
+        out = []
+        for name in names:
+            p = os.path.join(dir_, f"{name}.txt")
+            if not os.path.exists(p):
+                out.append([])
+                continue
+            with open(p) as f:
+                out.append(
+                    [parse_kitti_line(l, with_score) for l in f.read().splitlines() if l]
+                )
+        return out
+
+    gts = load(gt_dir, False)
+    stacks = {k: load(d, True) for k, d in res_dirs.items() if d is not None}
+    rng = np.random.RandomState(seed)
+    draws = rng.randint(0, len(names), size=(n_resamples, len(names)))
+    out = {"n_resamples": n_resamples, "n_images": len(names)}
+    for cls in ("Car", "Pedestrian", "Cyclist"):
+        for metric in ("bbox", "bev", "3d"):
+            d_jt, d_qj = [], []
+            for draw in draws:
+                idx = list(draw)
+                g = [gts[i] for i in idx]
+                aps = {
+                    k: evaluate_ap(
+                        g, [det[i] for i in idx], class_name=cls, metric=metric,
+                        difficulty="moderate", min_overlap=min_overlap,
+                        min_height=min_height,
+                    )
+                    for k, det in stacks.items()
+                }
+                d_jt.append(100.0 * (aps["jax"] - aps["torch"]))
+                if "int8" in aps:
+                    d_qj.append(100.0 * (aps["int8"] - aps["jax"]))
+            key = f"{cls}_{metric}_moderate"
+            cell = {
+                "delta_ci95": [
+                    round(float(np.percentile(d_jt, 2.5)), 2),
+                    round(float(np.percentile(d_jt, 97.5)), 2),
+                ]
+            }
+            if d_qj:
+                cell["delta_int8_ci95"] = [
+                    round(float(np.percentile(d_qj, 2.5)), 2),
+                    round(float(np.percentile(d_qj, 97.5)), 2),
+                ]
+            out[key] = cell
+    return out
+
+
 def main(argv=None):
     from rtm3d_tpu.utils.cache import enable_compilation_cache
 
@@ -474,6 +557,12 @@ def main(argv=None):
         help="override the devkit difficulty min bbox heights (40/25/25 px "
         "assume 1242x375 frames; small synthetic gt falls below them)",
     )
+    p.add_argument(
+        "--bootstrap", type=int, default=0, metavar="N",
+        help="N-resample percentile bootstrap over the test images: adds "
+        "95%% CIs for the jax-torch and int8-jax AP deltas to the report "
+        "(moderate difficulty, per class x metric)",
+    )
     args = p.parse_args(argv)
     out = run_ap_parity(
         args.work_dir,
@@ -486,6 +575,7 @@ def main(argv=None):
         residual_thresh=args.residual_thresh,
         min_overlap=args.min_overlap,
         min_height=args.min_height,
+        bootstrap=args.bootstrap,
     )
     print(json.dumps(out, indent=2))
     if args.out:
