@@ -53,3 +53,7 @@ def test_ap_parity_small(tmp_path):
     for key, row in out["ap"].items():
         assert abs(row["delta"]) <= 15.0, (key, row)
         assert abs(row.get("delta_int8", 0.0)) <= 15.0, (key, row)
+        # same trained weights through both inference stacks: the training
+        # trajectories cancel, so this bound is tighter than the trained
+        # jax-vs-torch delta
+        assert abs(row.get("delta_samew", 0.0)) <= 5.0, (key, row)

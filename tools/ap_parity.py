@@ -16,6 +16,14 @@ Also records the loss-drift curve between the stacks over the first
 loss deltas measure accumulated numeric divergence: fp order, Adamax sign
 geometry, BN running-stat drift).
 
+Legs reported per AP cell:
+  jax / torch / delta        — each stack trained + served by its own pipeline
+  int8 / delta_int8          — the trained jax weights through the quantized path
+  samew / delta_samew        — the trained TORCH weights through the JAX
+                               pipeline vs the torch pipeline: identical
+                               weights, so training-trajectory chaos cancels
+                               and this is the tight inference-path AP bound
+
 Usage:
   python tools/ap_parity.py [--steps 300] [--out report.json]
 """
@@ -289,6 +297,21 @@ def run_ap_parity(
     twin.eval()
     _detect_torch(cfg, twin, test_ds, batch, res_t)
 
+    # --- same-weights leg: the trained TORCH weights through the JAX
+    # serving pipeline. res_sw vs res_t compares the two inference stacks
+    # (batched jitted decode + LM solver vs per-image decode + scipy
+    # L-BFGS-B) on IDENTICAL weights — the training-trajectory divergence
+    # that dominates the jax-vs-torch columns cancels exactly, so
+    # delta_samew is the tight end-to-end inference-path AP bound at
+    # trained-weight scale.
+    sw_sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+    sw_vars, sw_report = import_torch_weights(
+        jax.tree_util.tree_map(jnp.asarray, eval_vars), sw_sd
+    )
+    assert not sw_report["missed"], sw_report["missed"][:8]
+    res_sw = os.path.join(work_dir, "results_samew")
+    _detect_jax(cfg, model, sw_vars, test_ds, batch, res_sw)
+
     # --- int8 AP gate: the SAME trained jax weights through the quantized
     # serving path (nn/quant.py), scored with the same evaluator — the
     # accuracy bar behind the int8 throughput headline ---
@@ -299,7 +322,7 @@ def run_ap_parity(
     )
 
     ap = _score_both(
-        data, res_j, res_t, res_q,
+        data, res_j, res_t, res_q, res_sw=res_sw,
         min_overlap=min_overlap, min_height=min_height,
     )
     out = {
@@ -322,7 +345,8 @@ def run_ap_parity(
     if bootstrap:
         progress(f"bootstrap: {bootstrap} resamples over {num_test} test images")
         out["bootstrap"] = bootstrap_cis(
-            data, {"jax": res_j, "torch": res_t, "int8": res_q},
+            data,
+            {"jax": res_j, "torch": res_t, "int8": res_q, "samew": res_sw},
             n_resamples=bootstrap, min_overlap=min_overlap,
             min_height=min_height,
         )
@@ -431,7 +455,8 @@ def _detect_torch(cfg, twin, ds, batch, out_dir):
         write_results(out_dir, name, detections_to_lines(det_i, names, 0) if n else [])
 
 
-def _score_both(data, res_j, res_t, res_q=None, min_overlap=None, min_height=None):
+def _score_both(data, res_j, res_t, res_q=None, res_sw=None, min_overlap=None,
+                min_height=None):
     from rtm3d_tpu.eval.ap import evaluate_directories
 
     with open(os.path.join(data, "ImageSets", "test.txt")) as f:
@@ -457,6 +482,12 @@ def _score_both(data, res_j, res_t, res_q=None, min_overlap=None, min_height=Non
                     a_q = evaluate_directories(gt_dir, res_q, names, **kw)
                     out[key]["int8"] = round(100 * a_q, 2)
                     out[key]["delta_int8"] = round(100 * (a_q - a_j), 2)
+                if res_sw is not None:
+                    # same trained weights, two inference stacks: jax
+                    # pipeline (samew) vs torch pipeline (torch column)
+                    a_sw = evaluate_directories(gt_dir, res_sw, names, **kw)
+                    out[key]["samew"] = round(100 * a_sw, 2)
+                    out[key]["delta_samew"] = round(100 * (a_sw - a_t), 2)
     return out
 
 
@@ -502,7 +533,7 @@ def bootstrap_cis(
     out = {"n_resamples": n_resamples, "n_images": len(names)}
     for cls in ("Car", "Pedestrian", "Cyclist"):
         for metric in ("bbox", "bev", "3d"):
-            d_jt, d_qj = [], []
+            d_jt, d_qj, d_sw = [], [], []
             for draw in draws:
                 idx = list(draw)
                 g = [gts[i] for i in idx]
@@ -517,6 +548,8 @@ def bootstrap_cis(
                 d_jt.append(100.0 * (aps["jax"] - aps["torch"]))
                 if "int8" in aps:
                     d_qj.append(100.0 * (aps["int8"] - aps["jax"]))
+                if "samew" in aps:
+                    d_sw.append(100.0 * (aps["samew"] - aps["torch"]))
             key = f"{cls}_{metric}_moderate"
             cell = {
                 "delta_ci95": [
@@ -528,6 +561,11 @@ def bootstrap_cis(
                 cell["delta_int8_ci95"] = [
                     round(float(np.percentile(d_qj, 2.5)), 2),
                     round(float(np.percentile(d_qj, 97.5)), 2),
+                ]
+            if d_sw:
+                cell["delta_samew_ci95"] = [
+                    round(float(np.percentile(d_sw, 2.5)), 2),
+                    round(float(np.percentile(d_sw, 97.5)), 2),
                 ]
             out[key] = cell
     return out
