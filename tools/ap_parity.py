@@ -165,6 +165,10 @@ def run_ap_parity(
     progress(f"init: imported {len(report['loaded'])} tensors; input {w}x{h}")
 
     feat_hw = (h // 4, w // 4)
+    # the twin consumes the same targets the jax step builds internally;
+    # jit this copy — eager dispatch of the many small target-building ops
+    # through the TPU tunnel costs seconds per step
+    build_tgts = jax.jit(lambda labels: build_targets(labels, feat_hw, 3))
 
     # --- optimizers (same policy both sides; constant LR) ---
     tx, _ = build_optimizer(cfg, variables["params"])
@@ -257,7 +261,7 @@ def run_ap_parity(
                 state, metrics = train_step(state, jb)
                 jl = float(metrics["loss"])
 
-                targets = build_targets(labels, feat_hw, 3)
+                targets = build_tgts(labels)
                 t_t = {k: torch.as_tensor(np.asarray(v).copy()) for k, v in targets.items()}
                 xt = torch.as_tensor(imgs.transpose(0, 3, 1, 2))
                 topt.zero_grad()
