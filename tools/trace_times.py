@@ -95,6 +95,37 @@ def summarize(logdir: str, top: int = 25, device_filter: str = ""):
     return dict(lane_busy), top_ops, span, modules
 
 
+def module_durations(logdir: str, device_filter: str = ""):
+    """Per-execution durations (us) of each XLA module in the trace:
+    {module_name: [dur_us, ...]} — the per-call device latencies that
+    aggregate summaries can't give (needed for latency percentiles)."""
+    path = find_trace_file(logdir)
+    events = load_events(path)
+    pid_names, tid_names = {}, {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    out = defaultdict(list)
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pid, tid = e.get("pid"), e.get("tid")
+        pn = pid_names.get(pid, "")
+        tn = tid_names.get((pid, tid), "")
+        hay = (pn + " " + tn).lower()
+        if device_filter and device_filter.lower() not in hay:
+            continue
+        if not ("tpu" in hay or "/device" in hay or "xla" in tn.lower()):
+            continue
+        if "python" in hay or "plugin" in hay:
+            continue
+        if "module" in tn.lower():
+            out[e.get("name", "?")].append(float(e.get("dur", 0.0)))
+    return dict(out)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("trace_times")
     p.add_argument("logdir")
