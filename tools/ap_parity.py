@@ -94,7 +94,7 @@ def make_config(data_path: str, input_size: int, batch: int, lr: float):
 
 def run_ap_parity(
     work_dir: str,
-    img_hw=(192, 256),
+    img_hw=None,
     input_size: int = 256,
     num_train: int = 64,
     num_test: int = 16,
@@ -130,6 +130,12 @@ def run_ap_parity(
     from tests.test_train_parity import _torch_loss, _torch_optimizer
 
     os.makedirs(work_dir, exist_ok=True)
+    if img_hw is None:
+        # 4:3 synthetic frames matching the network input, so gt pixel
+        # heights scale with --input-size: at 256 every gt is ~8-34 px
+        # (below the devkit's 40/25/25 px difficulty buckets), at 512 cars
+        # span ~16-68 px and populate the real devkit buckets
+        img_hw = (3 * input_size // 4, input_size)
     data = generate_kitti(
         os.path.join(work_dir, "kitti"),
         num_train=num_train,
