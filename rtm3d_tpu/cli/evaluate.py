@@ -35,6 +35,11 @@ def parse_args(argv=None):
         "MAX_DAP points (the accuracy gate behind the int8 throughput win)",
     )
     p.add_argument("--skip-detect", action="store_true")
+    p.add_argument(
+        "--recall-points", type=int, default=40, choices=(11, 40),
+        help="AP recall grid: 40 = official devkit since 2019-10; 11 = "
+        "legacy grid the upstream RTM3D paper's val tables use",
+    )
     p.add_argument("--set", nargs="*", default=[])
     return p.parse_args(argv)
 
@@ -56,7 +61,7 @@ def _run_detect(args, data_path, out_dir, int8: bool):
     detect_cli.main(det_args)
 
 
-def _score(cfg, gt_dir, out_dir, names):
+def _score(cfg, gt_dir, out_dir, names, recall_points=40):
     results = {}
     for cls in cfg.DATASET.OBJs:
         for metric in ("bbox", "bev", "3d"):
@@ -66,13 +71,14 @@ def _score(cfg, gt_dir, out_dir, names):
                     ap, aos = evaluate_directories(
                         gt_dir, out_dir, names,
                         class_name=cls, metric=metric, difficulty=diff,
-                        with_aos=True,
+                        with_aos=True, recall_points=recall_points,
                     )
                     results[f"{cls}_aos_{diff}"] = round(100 * aos, 2)
                 else:
                     ap = evaluate_directories(
                         gt_dir, out_dir, names,
                         class_name=cls, metric=metric, difficulty=diff,
+                        recall_points=recall_points,
                     )
                 results[f"{cls}_{metric}_{diff}"] = round(100 * ap, 2)
     return results
@@ -90,13 +96,13 @@ def main(argv=None):
         names = sorted(f.read().splitlines())
     gt_dir = os.path.join(data_path, "training", "label_2")
 
-    results = _score(cfg, gt_dir, args.out_dir, names)
+    results = _score(cfg, gt_dir, args.out_dir, names, args.recall_points)
 
     if args.int8 and args.int8_guard is not None:
         # accuracy gate: score the float path on the same split and compare
         fp_dir = args.out_dir.rstrip("/\\") + "_fp"
         _run_detect(args, data_path, fp_dir, int8=False)
-        fp_results = _score(cfg, gt_dir, fp_dir, names)
+        fp_results = _score(cfg, gt_dir, fp_dir, names, args.recall_points)
         deltas = {k: round(results[k] - fp_results[k], 2) for k in results}
         print("int8 - float AP deltas:", json.dumps(deltas, indent=2))
         worst = min(

@@ -289,8 +289,14 @@ def evaluate_ap(
     with_aos: bool = False,
     min_overlap: float | None = None,
     min_height: float | None = None,
+    recall_points: int = 40,
 ) -> float | Tuple[float, float]:
     """AP_R40 over a dataset. gts/dets: per image lists of parsed objects.
+
+    recall_points selects the recall grid: 40 (the official devkit since
+    2019-10-08, linspace(1/40, 1, 40)) or 11 (the legacy devkit grid
+    linspace(0, 1, 11) that the upstream RTM3D paper's Tab. 1-4 val numbers
+    use — needed to compare against the paper's published AP directly).
 
     Official-devkit semantics: gt of the class splits into valid (difficulty
     bucket) vs ignored (harder difficulty, or neighbour class: Van for Car,
@@ -426,10 +432,14 @@ def evaluate_ap(
     precs = tp_c / denom_p
     sim_precs = sim_c / denom_p
     ap, aos = 0.0, 0.0
-    for r in np.linspace(0.025, 1.0, 40):
+    if recall_points == 11:
+        grid = np.linspace(0.0, 1.0, 11)  # legacy devkit 0:0.1:1
+    else:
+        grid = np.linspace(1.0 / recall_points, 1.0, recall_points)
+    for r in grid:
         mask = recalls >= r
-        ap += (precs[mask].max() if mask.any() else 0.0) / 40.0
-        aos += (sim_precs[mask].max() if mask.any() else 0.0) / 40.0
+        ap += (precs[mask].max() if mask.any() else 0.0) / len(grid)
+        aos += (sim_precs[mask].max() if mask.any() else 0.0) / len(grid)
     ap = float(min(ap, 1.0))
     if with_aos:
         return ap, float(min(aos, 1.0))

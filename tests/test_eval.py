@@ -372,3 +372,30 @@ def test_bootstrap_cis_identical_and_perturbed(tmp_path):
     )
     assert point < 0.0
     assert lo <= point <= hi and lo < 0.0 and hi <= 0.0
+
+
+def test_ap_recall_points_r11_vs_r40():
+    """R11 (legacy devkit grid, the upstream paper's val tables) vs R40.
+
+    One TP at score .9 over two valid gt + one FP at score .8 gives the PR
+    points (r=.5, p=1.0) -> (r=.5, p=.5). Hand-computed: R40 sums 1.0 over
+    the 20 grid points <= 0.5 of linspace(1/40, 1, 40) -> AP .5; R11 sums
+    1.0 over the 6 points {0, .1, ..., .5} of linspace(0, 1, 11) -> 6/11.
+    """
+    gts = [[_obj(), _obj(loc=(5, 1.5, 12), bbox=(150, 0, 260, 55))]]
+    dets = [[
+        _obj(score=0.9),
+        _obj(bbox=(600, 0, 700, 60), loc=(30, 1.5, 40), score=0.8),
+    ]]
+    ap40 = evaluate_ap(gts, dets, "Car", "bbox", "easy")
+    ap11 = evaluate_ap(gts, dets, "Car", "bbox", "easy", recall_points=11)
+    assert abs(ap40 - 0.5) < 1e-9
+    assert abs(ap11 - 6.0 / 11.0) < 1e-9
+
+
+def test_ap_recall_points_perfect_is_one_on_both_grids():
+    gts = [[_obj()], [_obj(loc=(2, 1.5, 15))]]
+    dets = [[_obj(score=0.9)], [_obj(loc=(2, 1.5, 15), score=0.8)]]
+    for rp in (11, 40):
+        ap = evaluate_ap(gts, dets, "Car", "bbox", "easy", recall_points=rp)
+        assert abs(ap - 1.0) < 1e-9
