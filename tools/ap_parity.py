@@ -111,6 +111,7 @@ def run_ap_parity(
     min_overlap: float | None = None,
     min_height: float | None = None,
     bootstrap: int = 0,
+    rescore_only: bool = False,
 ) -> dict:
     import pickle
 
@@ -145,6 +146,40 @@ def run_ap_parity(
         seed=seed,
     )
     cfg = make_config(data, input_size, batch, lr)
+    if rescore_only:
+        # re-score the four existing results_* dirs under different SCORING
+        # bars (min_overlap / min_height) without retraining or re-running
+        # the detect legs. Only valid while the DETECTION gates
+        # (score/residual thresholds) match the run that wrote the dirs —
+        # the torch scipy leg alone costs minutes, a re-score is seconds.
+        res = {
+            leg: os.path.join(work_dir, f"results_{leg}")
+            for leg in ("jax", "torch", "int8", "samew")
+        }
+        missing = [d for d in res.values() if not os.path.isdir(d)]
+        if missing:
+            raise FileNotFoundError(
+                f"rescore_only: missing results dirs {missing}; run the "
+                "full harness first"
+            )
+        out = {
+            "config": {
+                "rescore_of": work_dir, "steps": steps,
+                "min_overlap": min_overlap, "min_height": min_height,
+            },
+            "ap": _score_both(
+                data, res["jax"], res["torch"], res["int8"],
+                res_sw=res["samew"],
+                min_overlap=min_overlap, min_height=min_height,
+            ),
+        }
+        if bootstrap:
+            progress(f"bootstrap: {bootstrap} resamples over {num_test} test images")
+            out["bootstrap"] = bootstrap_cis(
+                data, res, n_resamples=bootstrap,
+                min_overlap=min_overlap, min_height=min_height,
+            )
+        return out
     # gate-relaxed scoring mode: the production gates (score >= 0.25,
     # solver residual < 0.1) reject everything until the model is far into
     # training; relaxing them IDENTICALLY on both stacks turns the AP
@@ -606,6 +641,13 @@ def main(argv=None):
         "assume 1242x375 frames; small synthetic gt falls below them)",
     )
     p.add_argument(
+        "--rescore-only", action="store_true",
+        help="re-score the existing results_* dirs in --work-dir under the "
+        "given --min-overlap/--min-height (and --bootstrap) without "
+        "retraining or re-detecting; detection gates must match the run "
+        "that wrote the dirs",
+    )
+    p.add_argument(
         "--bootstrap", type=int, default=0, metavar="N",
         help="N-resample percentile bootstrap over the test images: adds "
         "95%% CIs for the jax-torch and int8-jax AP deltas to the report "
@@ -624,6 +666,7 @@ def main(argv=None):
         min_overlap=args.min_overlap,
         min_height=args.min_height,
         bootstrap=args.bootstrap,
+        rescore_only=args.rescore_only,
     )
     print(json.dumps(out, indent=2))
     if args.out:
