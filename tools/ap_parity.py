@@ -299,16 +299,23 @@ def run_ap_parity(
                 imgs = b["image"].astype(np.float32)  # already normalised (host)
                 labels = {k: jnp.asarray(v) for k, v in b["labels"].items()}
                 jb = {"image": jnp.asarray(imgs), "labels": labels}
-                state, metrics = train_step(state, jb)
-                jl = float(metrics["loss"])
-
+                # dispatch the target build, then the jax step, both
+                # asynchronously, and run the torch twin on the host CPU
+                # while the TPU works — synchronising on metrics["loss"] up
+                # front serialised the two legs (~doubling wall time on this
+                # 1-core host). Target build goes FIRST: the device runs
+                # programs in dispatch order, so the targets (the twin's
+                # input) are downloadable while the train step executes; the
+                # jax loss is read only after the torch leg.
                 targets = build_tgts(labels)
+                state, metrics = train_step(state, jb)
                 t_t = {k: torch.as_tensor(np.asarray(v).copy()) for k, v in targets.items()}
                 xt = torch.as_tensor(imgs.transpose(0, 3, 1, 2))
                 topt.zero_grad()
                 tl = _torch_loss(twin(xt), t_t)
                 tl.backward()
                 topt.step()
+                jl = float(metrics["loss"])
                 loss_j.append(jl)
                 loss_t.append(float(tl.detach()))
                 if step_i % 20 == 0:
