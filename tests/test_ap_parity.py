@@ -57,3 +57,30 @@ def test_ap_parity_small(tmp_path):
         # trajectories cancel, so this bound is tighter than the trained
         # jax-vs-torch delta
         assert abs(row.get("delta_samew", 0.0)) <= 5.0, (key, row)
+
+
+def test_rescore_only_requires_results_dirs(tmp_path):
+    from tools.ap_parity import run_ap_parity
+
+    with pytest.raises(FileNotFoundError):
+        run_ap_parity(str(tmp_path), rescore_only=True)
+
+
+def test_rescore_only_rescores_written_dirs(tmp_path):
+    """rescore_only re-scores existing results dirs without touching the
+    training path: empty result dirs score an all-zero table and carry the
+    requested bars in the config block."""
+    import os
+
+    from tools.ap_parity import run_ap_parity
+
+    for leg in ("jax", "torch", "int8", "samew"):
+        os.makedirs(tmp_path / f"results_{leg}")
+    out = run_ap_parity(
+        str(tmp_path), rescore_only=True, min_height=0.0, min_overlap=0.3,
+        bootstrap=5, progress=lambda *a: None,
+    )
+    assert out["config"]["min_overlap"] == 0.3
+    assert set(out) == {"config", "ap", "bootstrap"}
+    for row in out["ap"].values():
+        assert row["jax"] == 0.0 and row["delta"] == 0.0
