@@ -350,3 +350,84 @@ def import_torch_weights(
     if flat_stats:
         out["batch_stats"] = unflatten_dict(new_stats)
     return out, {"loaded": loaded, "missed": missed}
+
+
+def _convert_array_back(flax_arr: np.ndarray, torch_shape) -> Optional[np.ndarray]:
+    """Inverse of ``_convert_array``: flax layout -> torch layout. The perm
+    order mirrors the import's priority ((2,3,1,0) before (2,3,0,1)) with the
+    inverse permutations, so square-kernel ambiguity resolves identically and
+    an import->export round trip is bit-exact."""
+    a = np.asarray(flax_arr)
+    ts = tuple(torch_shape)
+    if a.shape == ts:
+        return a
+    if a.ndim == 4:
+        for perm in ((3, 2, 0, 1), (2, 3, 0, 1)):
+            if np.transpose(a, perm).shape == ts:
+                return np.ascontiguousarray(np.transpose(a, perm))
+    if a.ndim == 2 and a.T.shape == ts:
+        return np.ascontiguousarray(a.T)
+    return None
+
+
+def export_torch_weights(
+    variables: Dict[str, Any], state_dict: Dict[str, np.ndarray]
+):
+    """Inverse of ``import_torch_weights``: write the flax ``variables`` into
+    a torch-naming ``state_dict`` template (e.g. ``twin.state_dict()``),
+    using the SAME dotted-name suffix matching and the inverse layout
+    conversions (conv (kh,kw,I,O)->(O,I,kh,kw), convtranspose
+    (kh,kw,O,I)->(I,O,kh,kw), linear (I,O)->(O,I)).
+
+    Template keys with no flax counterpart (e.g. ``num_batches_tracked``)
+    keep their template values. Returns (new_state_dict: name->np.ndarray,
+    report {exported, missed}). The caller converts to tensors for
+    ``load_state_dict`` (values are numpy; ``torch.as_tensor`` suffices).
+
+    This enables serving a checkpoint trained by THIS framework through the
+    reference's torch inference stack — the reverse of the usual import
+    direction (reference capability: check_point.py:14-92 loads only
+    torch->torch)."""
+    flat_params = flatten_dict(variables["params"])
+    flat_stats = flatten_dict(variables.get("batch_stats", {}))
+
+    sources = {}
+    for path, val in flat_params.items():
+        sources[_to_dotted(path)] = val
+    for path, val in flat_stats.items():
+        sources[_to_dotted(path)] = val
+
+    new_sd, exported, missed = {}, [], []
+    for tk, tval in state_dict.items():
+        tkn = tk[7:] if tk.startswith("module.") else tk
+        # longest flax dotted name that suffix-matches this torch key
+        # (same scoring as import_torch_weights, direction flipped)
+        best_dotted, best_len = None, 0
+        for dotted in sources:
+            if dotted == tkn:
+                score = 3 * len(tkn)
+            elif dotted.endswith("." + tkn):
+                score = 2 * len(tkn)
+            elif tkn.endswith("." + dotted):
+                score = len(dotted)
+            else:
+                continue
+            if score > best_len:
+                best_dotted, best_len = dotted, score
+        if best_dotted is None:
+            new_sd[tk] = np.asarray(tval)  # e.g. num_batches_tracked
+            missed.append(tkn)
+            continue
+        conv = _convert_array_back(
+            np.asarray(sources[best_dotted]), np.asarray(tval).shape
+        )
+        if conv is None:
+            new_sd[tk] = np.asarray(tval)
+            missed.append(
+                f"{tkn} (shape {np.asarray(sources[best_dotted]).shape} vs "
+                f"{np.asarray(tval).shape})"
+            )
+            continue
+        new_sd[tk] = conv.astype(np.asarray(tval).dtype)
+        exported.append((tkn, best_dotted))
+    return new_sd, {"exported": exported, "missed": missed}

@@ -11,6 +11,7 @@ from rtm3d_tpu.nn.resnet import PoseResNet
 from rtm3d_tpu.train.checkpoint import (
     CheckPointer,
     _to_dotted,
+    export_torch_weights,
     import_torch_weights,
 )
 from rtm3d_tpu.train.optim import build_optimizer
@@ -165,6 +166,45 @@ def test_import_torch_resnet18_forward_parity(rng):
         b = tf.numpy()
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-3)
+
+
+def test_export_torch_roundtrip():
+    """jax->torch export (export_torch_weights) is the exact inverse of the
+    import: random full-twin weights (ResNet-18 trunk + KFPN + header, the
+    complete reference model composition) survive a torch -> flax -> torch
+    round trip bit-exactly — the correctness bar for serving a checkpoint
+    trained by this framework through the reference's torch stack."""
+    import torch
+
+    from tools.ap_parity import build_torch_twin
+
+    twin = build_torch_twin(seed=7)
+    # randomise running stats so batch_stats round-trips are exercised
+    with torch.no_grad():
+        for m in twin.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.02)
+                m.running_var.uniform_(0.8, 1.2)
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+
+    cfg = default_config()
+    cfg.MODEL.BACKBONE = "RESNET-18"
+    cfg.MODEL.KFNs = ["layer1", "layer2", "layer3", "layer4"]
+    cfg.INPUT_SIZE = (64, 64)
+    _, variables = init_model(cfg, jax.random.PRNGKey(0))
+    variables, rep_in = import_torch_weights(variables, sd)
+    assert not rep_in["missed"], rep_in["missed"][:8]
+
+    out_sd, rep_out = export_torch_weights(variables, sd)
+    # every template key that is not a pure-torch counter must round-trip
+    assert all("num_batches_tracked" in m for m in rep_out["missed"]), (
+        rep_out["missed"][:8]
+    )
+    assert set(out_sd) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(out_sd[k], sd[k], err_msg=k)
+    # and the exported dict must be loadable by the torch module
+    twin.load_state_dict({k: torch.as_tensor(v) for k, v in out_sd.items()})
 
 
 def _tiny_state():

@@ -405,6 +405,209 @@ def run_ap_parity(
     return out
 
 
+def run_production_parity(
+    work_dir: str,
+    input_size: int = 512,
+    num_train: int = 64,
+    num_test: int = 32,
+    steps: int = 4000,
+    batch: int = 8,
+    lr: float = 1e-3,
+    seed: int = 20,
+    progress=print,
+    resume: bool = True,
+    save_every: int = 250,
+    bootstrap: int = 0,
+    min_overlap: float | None = None,
+    min_height: float | None = None,
+) -> dict:
+    """Same-weights AP parity AT PRODUCTION GATES on a checkpoint that
+    actually detects.
+
+    The side-by-side harness (run_ap_parity) is bounded by the torch CPU
+    training leg, so its checkpoints never clear the production gates
+    (score >= SCORE_THRESH, LM/L-BFGS residual < 0.1) — every gated AP cell
+    is 0.00 on both stacks. This mode removes the bottleneck: train ONLY the
+    jax stack (TPU-fast) until the gates fire, then push the SAME trained
+    weights through BOTH inference pipelines —
+
+      results_jax:   jax batched decode + Pallas LM      (this framework)
+      results_torch: per-image torch decode + scipy L-BFGS-B
+                     (reference detect.py:47-88 + model_utils.py:264-312
+                     semantics, via export_torch_weights)
+
+    and score both at the true production gates. Identical weights mean the
+    training trajectory cancels exactly: the reported delta IS the
+    end-to-end inference-path AP difference at a detecting checkpoint — the
+    direct in-environment analogue of BASELINE.md's "AP3D within 0.1 of the
+    reference checkpoint". An int8 leg (same weights, quantized path) rides
+    along as the serving-accuracy gate."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from rtm3d_tpu.data.kitti import create_dataset
+    from rtm3d_tpu.data.loader import DataLoader
+    from rtm3d_tpu.data.synthetic import generate_kitti
+    from rtm3d_tpu.nn.model import create_model
+    from rtm3d_tpu.train.checkpoint import export_torch_weights
+    from rtm3d_tpu.train.optim import build_optimizer
+    from rtm3d_tpu.train.state import TrainState
+    from rtm3d_tpu.train.step import make_train_step
+
+    os.makedirs(work_dir, exist_ok=True)
+    img_hw = (3 * input_size // 4, input_size)
+    data = generate_kitti(
+        os.path.join(work_dir, "kitti"),
+        num_train=num_train,
+        num_test=num_test,
+        img_hw=img_hw,
+        max_objs=4,
+        seed=seed,
+    )
+    cfg = make_config(data, input_size, batch, lr)
+    cfg.DATASET.CACHE_IMAGES = True  # jax-only training: decode PNGs once
+
+    model = create_model(cfg)
+    ds = create_dataset(data, cfg, is_training=True, split="train")
+    cfg.INPUT_SIZE = tuple(ds.img_size)
+    w, h = cfg.INPUT_SIZE
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3)))
+    progress(f"production-parity: input {w}x{h}, {steps} steps, batch {batch}")
+
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, cfg, tx)
+    loader = DataLoader(
+        ds, batch, shuffle=True, seed=seed, num_shards=1, shard_index=0
+    )
+
+    ckpt_j = os.path.join(work_dir, "jax_final.pkl")
+    mid_j = os.path.join(work_dir, "train_ckpt.pkl")
+    losses_path = os.path.join(work_dir, "losses.json")
+    eval_vars, loss_j = None, []
+    if resume and os.path.exists(ckpt_j) and os.path.exists(losses_path):
+        with open(losses_path) as f:
+            loss_j = json.load(f)["jax"]
+        if len(loss_j) >= steps:
+            progress(f"resuming: trained weights + {len(loss_j)}-step curve found")
+            with open(ckpt_j, "rb") as f:
+                eval_vars = pickle.load(f)
+    if eval_vars is None:
+        step_i = 0
+        steps_per_epoch = max(1, len(loader))
+        if resume and os.path.exists(mid_j):
+            with open(mid_j, "rb") as f:
+                mid = pickle.load(f)
+            state = jax.tree_util.tree_map(jnp.asarray, mid["state"])
+            loss_j = mid["loss_j"]
+            step_i = mid["step_i"]
+            progress(f"mid-train resume at step {step_i}")
+        while step_i < steps:
+            epoch = step_i // steps_per_epoch
+            loader.set_epoch(epoch)
+            skip_in_epoch = step_i % steps_per_epoch
+            for bi, b in enumerate(loader):
+                if bi < skip_in_epoch:
+                    continue
+                if step_i >= steps:
+                    break
+                jb = {
+                    "image": jnp.asarray(b["image"].astype(np.float32)),
+                    "labels": {k: jnp.asarray(v) for k, v in b["labels"].items()},
+                }
+                state, metrics = train_step(state, jb)
+                loss_j.append(float(metrics["loss"]))
+                if step_i % 100 == 0:
+                    progress(f"step {step_i}: jax {loss_j[-1]:.4f}")
+                step_i += 1
+                if step_i % save_every == 0 and step_i < steps:
+                    with open(mid_j + ".tmp", "wb") as f:
+                        pickle.dump(
+                            {
+                                "state": jax.device_get(state),
+                                "step_i": step_i,
+                                "loss_j": loss_j,
+                            },
+                            f,
+                        )
+                    os.replace(mid_j + ".tmp", mid_j)
+        eval_vars = jax.device_get(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        with open(ckpt_j, "wb") as f:
+            pickle.dump(eval_vars, f)
+        with open(losses_path, "w") as f:
+            json.dump({"jax": loss_j}, f)
+
+    # --- the SAME weights through both inference stacks ---
+    test_ds = create_dataset(data, cfg, is_training=False, split="test")
+    test_ds.img_size = list(ds.img_size)
+    res_j = os.path.join(work_dir, "results_jax")
+    res_t = os.path.join(work_dir, "results_torch")
+    res_q = os.path.join(work_dir, "results_int8")
+    _detect_jax(cfg, model, eval_vars, test_ds, batch, res_j)
+
+    twin = build_torch_twin()
+    sd, rep = export_torch_weights(eval_vars, twin.state_dict())
+    bad = [m for m in rep["missed"] if "num_batches_tracked" not in m]
+    assert not bad, bad[:8]
+    twin.load_state_dict({k: torch.as_tensor(v) for k, v in sd.items()})
+    twin.eval()
+    progress(f"exported {len(rep['exported'])} tensors to the torch twin")
+    _detect_torch(cfg, twin, test_ds, batch, res_t)
+
+    _detect_jax(
+        cfg, model, eval_vars, test_ds, batch, res_q,
+        apply_fn=_int8_apply(cfg, model, eval_vars, ds, batch),
+    )
+
+    counts = {
+        leg: _count_accepted(d)
+        for leg, d in (("jax", res_j), ("torch", res_t), ("int8", res_q))
+    }
+    progress(f"accepted detections at production gates: {counts}")
+    out = {
+        "config": {
+            "mode": "production_same_weights",
+            "backbone": "RESNET-18", "input": [w, h], "steps": steps,
+            "batch": batch, "lr": lr, "num_train": num_train,
+            "num_test": num_test,
+            "score_thresh": float(cfg.DETECTOR.SCORE_THRESH),
+            "residual_thresh": float(cfg.DETECTOR.RESIDUAL_THRESH),
+            "min_overlap": min_overlap, "min_height": min_height,
+        },
+        "loss_first_last": [loss_j[0], loss_j[-1]] if loss_j else None,
+        "accepted_counts": counts,
+        # column semantics here: 'jax' and 'torch' hold IDENTICAL weights, so
+        # 'delta' is the pure inference-path AP difference
+        "ap": _score_both(
+            data, res_j, res_t, res_q,
+            min_overlap=min_overlap, min_height=min_height,
+        ),
+    }
+    if bootstrap:
+        progress(f"bootstrap: {bootstrap} resamples over {num_test} test images")
+        out["bootstrap"] = bootstrap_cis(
+            data,
+            {"jax": res_j, "torch": res_t, "int8": res_q},
+            n_resamples=bootstrap,
+            min_overlap=min_overlap, min_height=min_height,
+        )
+    return out
+
+
+def _count_accepted(results_dir: str) -> int:
+    n = 0
+    for fn in os.listdir(results_dir):
+        if fn.endswith(".txt"):
+            with open(os.path.join(results_dir, fn)) as f:
+                n += sum(1 for line in f if line.strip())
+    return n
+
+
 def _int8_apply(cfg, model, variables, train_ds, batch, calib_batches: int = 2):
     """Quantized apply for the int8 leg: per-channel weight scales +
     activation scales calibrated on a couple of training batches."""
@@ -655,12 +858,37 @@ def main(argv=None):
         "that wrote the dirs",
     )
     p.add_argument(
+        "--production", action="store_true",
+        help="production-gate same-weights mode: train ONLY the jax stack "
+        "(TPU-fast) until the production gates fire, export the trained "
+        "weights to the torch twin (export_torch_weights), and compare the "
+        "two inference pipelines' AP at the true score/residual gates — "
+        "identical weights, so the delta is the pure inference-path effect",
+    )
+    p.add_argument(
         "--bootstrap", type=int, default=0, metavar="N",
         help="N-resample percentile bootstrap over the test images: adds "
         "95%% CIs for the jax-torch and int8-jax AP deltas to the report "
         "(moderate difficulty, per class x metric)",
     )
     args = p.parse_args(argv)
+    if args.production:
+        out = run_production_parity(
+            args.work_dir,
+            input_size=args.input_size,
+            num_train=args.num_train,
+            num_test=args.num_test,
+            steps=args.steps,
+            batch=args.batch,
+            bootstrap=args.bootstrap,
+            min_overlap=args.min_overlap,
+            min_height=args.min_height,
+        )
+        print(json.dumps(out, indent=2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=2)
+        return out
     out = run_ap_parity(
         args.work_dir,
         input_size=args.input_size,
