@@ -59,6 +59,49 @@ def test_ap_parity_small(tmp_path):
         assert abs(row.get("delta_samew", 0.0)) <= 5.0, (key, row)
 
 
+def test_production_parity_small(tmp_path):
+    """Production-gate same-weights mode at pinned small scale: the jax-only
+    training leg runs, the trained weights export to the torch twin
+    (export_torch_weights) and BOTH inference pipelines run at the true
+    production gates. At 40 steps neither pipeline's detections clear the
+    gates — the contract here is that the whole composed path executes and
+    the same-weights delta stays bounded (identical weights: the only
+    difference is the inference stack)."""
+    from tools.ap_parity import run_production_parity
+
+    out = run_production_parity(
+        str(tmp_path),
+        input_size=128,
+        num_train=12,
+        num_test=4,
+        steps=40,
+        batch=4,
+        save_every=20,
+        progress=lambda *a: None,
+    )
+    assert out["config"]["mode"] == "production_same_weights"
+    l0, l1 = out["loss_first_last"]
+    assert l1 < l0
+    assert set(out["accepted_counts"]) == {"jax", "torch", "int8"}
+    for key, row in out["ap"].items():
+        # same weights on both sides: the inference-path delta must be small
+        # even when detections exist; int8 is a lossy path, bounded looser
+        assert abs(row["delta"]) <= 5.0, (key, row)
+        assert abs(row.get("delta_int8", 0.0)) <= 15.0, (key, row)
+
+    # resume contract: a second call with the same work_dir must not retrain
+    out2 = run_production_parity(
+        str(tmp_path),
+        input_size=128,
+        num_train=12,
+        num_test=4,
+        steps=40,
+        batch=4,
+        progress=lambda *a: None,
+    )
+    assert out2["loss_first_last"] == out["loss_first_last"]
+
+
 def test_rescore_only_requires_results_dirs(tmp_path):
     from tools.ap_parity import run_ap_parity
 

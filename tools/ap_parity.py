@@ -24,8 +24,15 @@ Legs reported per AP cell:
                                weights, so training-trajectory chaos cancels
                                and this is the tight inference-path AP bound
 
+A separate ``--production`` mode (run_production_parity) trains ONLY the jax
+stack — TPU-fast, so the checkpoint actually clears the production gates —
+then serves the SAME weights through both inference pipelines via the
+jax->torch exporter (train/checkpoint.py export_torch_weights) and compares
+AP at the true score/residual gates.
+
 Usage:
   python tools/ap_parity.py [--steps 300] [--out report.json]
+  python tools/ap_parity.py --production --input-size 512 --steps 3000
 """
 
 from __future__ import annotations
