@@ -427,9 +427,18 @@ def run_production_parity(
     bootstrap: int = 0,
     min_overlap: float | None = None,
     min_height: float | None = None,
+    train_augment: bool = True,
+    eval_split: str = "test",
+    lr_drops: tuple | None = None,
 ) -> dict:
     """Same-weights AP parity AT PRODUCTION GATES on a checkpoint that
     actually detects.
+
+    ``eval_split='train'`` serves the images the (overfit) checkpoint can
+    actually detect at the gates: the comparison is between two INFERENCE
+    PIPELINES on identical weights and identical inputs, so generalization
+    to unseen frames is irrelevant to the claim — what matters is that real
+    accepted detections exist on both sides of the diff.
 
     The side-by-side harness (run_ap_parity) is bounded by the torch CPU
     training leg, so its checkpoints never clear the production gates
@@ -476,12 +485,31 @@ def run_production_parity(
     )
     cfg = make_config(data, input_size, batch, lr)
     cfg.DATASET.CACHE_IMAGES = True  # jax-only training: decode PNGs once
+    if lr_drops:
+        # 10x LR drops: Adamax's sign-like step floors the vertex-regression
+        # error at O(lr) — the residual<0.1 gate needs the late-phase
+        # precision a constant LR never reaches (WarmupMultiStepLR, the
+        # reference's own schedule shape)
+        cfg.SOLVER.STEPS = tuple(int(s) for s in lr_drops)
 
     model = create_model(cfg)
-    ds = create_dataset(data, cfg, is_training=True, split="train")
+    # train_augment=False trains on the clean test-transform stream: the
+    # residual<0.1 production gate needs near-exact vertex regression, which
+    # an augmented 64-image set never reaches (measured: at 3000 augmented
+    # steps the score gate fires — max 0.63 — but min LM cost is ~2.5).
+    # The training recipe is free here; the CLAIM is inference-path parity
+    # at whatever detecting checkpoint results.
+    from rtm3d_tpu.data.transforms import test_transform
+
+    aug = "auto" if train_augment else test_transform(int(cfg.INPUT_SIZE[0]))
+    ds = create_dataset(data, cfg, is_training=True, split="train", augment=aug)
     cfg.INPUT_SIZE = tuple(ds.img_size)
     w, h = cfg.INPUT_SIZE
-    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3)))
+    # jit the init: flax's op-by-op eager init dispatches hundreds of tiny
+    # ops through the (tunneled) runtime — minutes of startup at this scale
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3))
+    )
     progress(f"production-parity: input {w}x{h}, {steps} steps, batch {batch}")
 
     tx, _ = build_optimizer(cfg, variables["params"])
@@ -512,35 +540,60 @@ def run_production_parity(
             loss_j = mid["loss_j"]
             step_i = mid["step_i"]
             progress(f"mid-train resume at step {step_i}")
-        while step_i < steps:
-            epoch = step_i // steps_per_epoch
-            loader.set_epoch(epoch)
-            skip_in_epoch = step_i % steps_per_epoch
-            for bi, b in enumerate(loader):
-                if bi < skip_in_epoch:
-                    continue
-                if step_i >= steps:
-                    break
-                jb = {
-                    "image": jnp.asarray(b["image"].astype(np.float32)),
-                    "labels": {k: jnp.asarray(v) for k, v in b["labels"].items()},
-                }
-                state, metrics = train_step(state, jb)
-                loss_j.append(float(metrics["loss"]))
-                if step_i % 100 == 0:
-                    progress(f"step {step_i}: jax {loss_j[-1]:.4f}")
-                step_i += 1
-                if step_i % save_every == 0 and step_i < steps:
-                    with open(mid_j + ".tmp", "wb") as f:
-                        pickle.dump(
-                            {
-                                "state": jax.device_get(state),
-                                "step_i": step_i,
-                                "loss_j": loss_j,
-                            },
-                            f,
-                        )
-                    os.replace(mid_j + ".tmp", mid_j)
+        from rtm3d_tpu.data.loader import prefetch_to_device
+
+        def _to_dev(b):
+            return {
+                "image": jnp.asarray(b["image"].astype(np.float32)),
+                "labels": {k: jnp.asarray(v) for k, v in b["labels"].items()},
+            }
+
+        def _epoch_batches(start_step):
+            """Device-resident batch stream from ``start_step`` onward; the
+            deterministic loader makes the position a pure function of the
+            step index, so resume replays the identical stream."""
+            si = start_step
+            while si < steps:
+                epoch = si // steps_per_epoch
+                loader.set_epoch(epoch)
+                skip = si % steps_per_epoch
+                for bi, b in enumerate(loader):
+                    if si >= steps:
+                        break
+                    if bi < skip:
+                        continue
+                    yield b
+                    si += 1
+
+        # loss scalars stay device-side between syncs: a per-step float()
+        # costs a tunnel round-trip AND serializes host against device;
+        # the prefetch keeps the next batch resident while the step runs
+        loss_dev = []
+
+        def _drain():
+            loss_j.extend(float(x) for x in jax.device_get(loss_dev))
+            loss_dev.clear()
+
+        for b in prefetch_to_device(_epoch_batches(step_i), _to_dev):
+            state, metrics = train_step(state, b)
+            loss_dev.append(metrics["loss"])
+            step_i += 1
+            if step_i % 100 == 0:
+                _drain()
+                progress(f"step {step_i}: jax {loss_j[-1]:.4f}")
+            if step_i % save_every == 0 and step_i < steps:
+                _drain()
+                with open(mid_j + ".tmp", "wb") as f:
+                    pickle.dump(
+                        {
+                            "state": jax.device_get(state),
+                            "step_i": step_i,
+                            "loss_j": loss_j,
+                        },
+                        f,
+                    )
+                os.replace(mid_j + ".tmp", mid_j)
+        _drain()
         eval_vars = jax.device_get(
             {"params": state.params, "batch_stats": state.batch_stats}
         )
@@ -550,7 +603,7 @@ def run_production_parity(
             json.dump({"jax": loss_j}, f)
 
     # --- the SAME weights through both inference stacks ---
-    test_ds = create_dataset(data, cfg, is_training=False, split="test")
+    test_ds = create_dataset(data, cfg, is_training=False, split=eval_split)
     test_ds.img_size = list(ds.img_size)
     res_j = os.path.join(work_dir, "results_jax")
     res_t = os.path.join(work_dir, "results_torch")
@@ -585,6 +638,7 @@ def run_production_parity(
             "score_thresh": float(cfg.DETECTOR.SCORE_THRESH),
             "residual_thresh": float(cfg.DETECTOR.RESIDUAL_THRESH),
             "min_overlap": min_overlap, "min_height": min_height,
+            "train_augment": train_augment, "eval_split": eval_split,
         },
         "loss_first_last": [loss_j[0], loss_j[-1]] if loss_j else None,
         "accepted_counts": counts,
@@ -592,16 +646,16 @@ def run_production_parity(
         # 'delta' is the pure inference-path AP difference
         "ap": _score_both(
             data, res_j, res_t, res_q,
-            min_overlap=min_overlap, min_height=min_height,
+            min_overlap=min_overlap, min_height=min_height, split=eval_split,
         ),
     }
     if bootstrap:
-        progress(f"bootstrap: {bootstrap} resamples over {num_test} test images")
+        progress(f"bootstrap: {bootstrap} resamples over {len(test_ds)} images")
         out["bootstrap"] = bootstrap_cis(
             data,
             {"jax": res_j, "torch": res_t, "int8": res_q},
             n_resamples=bootstrap,
-            min_overlap=min_overlap, min_height=min_height,
+            min_overlap=min_overlap, min_height=min_height, split=eval_split,
         )
     return out
 
@@ -718,10 +772,10 @@ def _detect_torch(cfg, twin, ds, batch, out_dir):
 
 
 def _score_both(data, res_j, res_t, res_q=None, res_sw=None, min_overlap=None,
-                min_height=None):
+                min_height=None, split="test"):
     from rtm3d_tpu.eval.ap import evaluate_directories
 
-    with open(os.path.join(data, "ImageSets", "test.txt")) as f:
+    with open(os.path.join(data, "ImageSets", f"{split}.txt")) as f:
         names = sorted(f.read().splitlines())
     gt_dir = os.path.join(data, "training", "label_2")
     out = {}
@@ -760,6 +814,7 @@ def bootstrap_cis(
     min_overlap: float | None = None,
     min_height: float | None = None,
     seed: int = 0,
+    split: str = "test",
 ) -> dict:
     """Percentile-bootstrap 95% CIs over the test images for the jax-torch
     and int8-jax AP deltas (moderate difficulty, per class x metric).
@@ -771,7 +826,7 @@ def bootstrap_cis(
     resampled duplicates; evaluate_ap never mutates them."""
     from rtm3d_tpu.eval.ap import evaluate_ap, parse_kitti_line
 
-    with open(os.path.join(data, "ImageSets", "test.txt")) as f:
+    with open(os.path.join(data, "ImageSets", f"{split}.txt")) as f:
         names = sorted(f.read().splitlines())
     gt_dir = os.path.join(data, "training", "label_2")
 
@@ -873,6 +928,25 @@ def main(argv=None):
         "identical weights, so the delta is the pure inference-path effect",
     )
     p.add_argument(
+        "--lr-drops", type=str, default=None,
+        help="(--production) comma-separated step milestones for 10x LR "
+        "drops (WarmupMultiStepLR); needed for the late-phase vertex "
+        "precision the residual gate demands",
+    )
+    p.add_argument(
+        "--eval-split", type=str, default="test", choices=("test", "train"),
+        help="(--production) which split the inference legs serve: 'train' "
+        "compares the pipelines on the images an overfit checkpoint "
+        "actually detects (the claim is same-weights inference parity, not "
+        "generalization)",
+    )
+    p.add_argument(
+        "--no-train-augment", action="store_true",
+        help="(--production) train on the clean test-transform stream: "
+        "overfits the fixture so the residual<0.1 gate fires at far fewer "
+        "steps; the training recipe does not affect the same-weights claim",
+    )
+    p.add_argument(
         "--bootstrap", type=int, default=0, metavar="N",
         help="N-resample percentile bootstrap over the test images: adds "
         "95%% CIs for the jax-torch and int8-jax AP deltas to the report "
@@ -890,6 +964,10 @@ def main(argv=None):
             bootstrap=args.bootstrap,
             min_overlap=args.min_overlap,
             min_height=args.min_height,
+            train_augment=not args.no_train_augment,
+            eval_split=args.eval_split,
+            lr_drops=tuple(int(s) for s in args.lr_drops.split(","))
+            if args.lr_drops else None,
         )
         print(json.dumps(out, indent=2))
         if args.out:
