@@ -245,6 +245,7 @@ def _int8_apply_fn(args, cfg, model, variables, ds):
         load_act_scales,
         quantized_apply,
         save_act_scales,
+        skip_scales,
     )
 
     if args.calib_scales and os.path.exists(args.calib_scales):
@@ -272,6 +273,9 @@ def _int8_apply_fn(args, cfg, model, variables, ds):
               f"over {len(calib)} batches")
         if args.calib_scales:
             save_act_scales(args.calib_scales, scales)
+    skip = tuple(cfg.TPU.get("INT8_SKIP", ()))
+    if skip:
+        scales = skip_scales(scales, skip)
     return quantized_apply(model, scales)
 
 

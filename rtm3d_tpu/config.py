@@ -216,6 +216,13 @@ def default_config() -> Config:
         # (~100 KB/step instead of ~22 MB/step). KITTI train is ~5.2 GB —
         # fits v5e HBM alongside bf16 training state.
         DEVICE_DATA_CACHE=False,
+        # int8 serving: conv path-suffixes kept in float. The header output
+        # convs ("head") are <0.5% of FLOPs but carry the heatmap logits and
+        # the vertex regression whose quantization error the 3D solver's
+        # residual<0.1 gate amplifies (measured: full-int8 accepts 11/93
+        # detections on a trained checkpoint; float-head restores parity —
+        # PARITY.md). Empty tuple = quantize everything (round-2 behaviour).
+        INT8_SKIP=("/head",),
     )
     return c
 

@@ -46,6 +46,23 @@ def _unfused(model):
     return model
 
 
+def skip_scales(
+    scales: Dict[str, float], skip: Iterable[str]
+) -> Dict[str, float]:
+    """Zero the calibration scale of every conv whose path ends with one of
+    ``skip`` — those convs then take the float fallback in
+    ``quantized_apply``. Default serving policy (cfg.TPU.INT8_SKIP) keeps the
+    four header output convs ("head") in float: they are <0.5% of FLOPs but
+    carry the heatmap logits and the vertex regression whose int8 error is
+    amplified by the 3D solver's residual<RESIDUAL_THRESH acceptance gate
+    (measured on a trained checkpoint: full-int8 accepts 11/93 detections;
+    float-head int8 restores acceptance — see PARITY.md)."""
+    skip = tuple(skip)
+    return {
+        k: (0.0 if k.endswith(skip) else v) for k, v in scales.items()
+    }
+
+
 def calibrate_act_scales(
     model, variables, batches: Iterable[jnp.ndarray]
 ) -> Dict[str, float]:

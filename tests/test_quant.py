@@ -95,6 +95,24 @@ def test_quantized_detect_step(rng):
     )
 
 
+def test_skip_scales_zeroes_suffix_matches():
+    from rtm3d_tpu.nn.quant import skip_scales
+
+    scales = {
+        "backbone/conv1": 1.5,
+        "detect_header/main_kf/head": 0.25,
+        "detect_header/offset_fr_main/head": 0.5,
+        "detect_header/main_kf/convs/layer0/conv": 2.0,
+    }
+    out = skip_scales(scales, ("/head",))
+    # zeroed scale -> quantized_apply's float fallback for that conv
+    assert out["detect_header/main_kf/head"] == 0.0
+    assert out["detect_header/offset_fr_main/head"] == 0.0
+    assert out["backbone/conv1"] == 1.5
+    assert out["detect_header/main_kf/convs/layer0/conv"] == 2.0
+    assert skip_scales(scales, ()) == scales
+
+
 def test_scales_roundtrip(tmp_path):
     scales = {"backbone/conv1": 1.5, "detect_header/main_kf/head": 0.25}
     p = os.path.join(tmp_path, "scales.json")

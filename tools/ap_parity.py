@@ -675,7 +675,7 @@ def _int8_apply(cfg, model, variables, train_ds, batch, calib_batches: int = 2):
     import jax.numpy as jnp
 
     from rtm3d_tpu.data.loader import DataLoader
-    from rtm3d_tpu.nn.quant import calibrate_act_scales, quantized_apply
+    from rtm3d_tpu.nn.quant import calibrate_act_scales, quantized_apply, skip_scales
 
     loader = DataLoader(
         train_ds, batch, shuffle=False, drop_last=False,
@@ -687,6 +687,7 @@ def _int8_apply(cfg, model, variables, train_ds, batch, calib_batches: int = 2):
             break
         calib.append(jnp.asarray(b["image"].astype(np.float32)))
     scales = calibrate_act_scales(model, variables, calib)
+    scales = skip_scales(scales, tuple(cfg.TPU.get("INT8_SKIP", ())))
     return quantized_apply(model, scales)
 
 

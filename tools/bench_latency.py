@@ -119,7 +119,7 @@ def main(argv=None):
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     apply_fn = None
     if args.int8:
-        from rtm3d_tpu.nn.quant import calibrate_act_scales, quantized_apply
+        from rtm3d_tpu.nn.quant import calibrate_act_scales, quantized_apply, skip_scales
 
         rng = np.random.RandomState(1)
         calib = [
@@ -127,6 +127,7 @@ def main(argv=None):
             for _ in range(2)
         ]
         scales = calibrate_act_scales(model, variables, calib)
+        scales = skip_scales(scales, tuple(cfg.TPU.get("INT8_SKIP", ())))
         apply_fn = quantized_apply(model, scales)
     detect = make_detect_step(model, cfg, with_3d=True, apply_fn=apply_fn)
 
