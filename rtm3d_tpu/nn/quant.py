@@ -49,18 +49,25 @@ def _unfused(model):
 def skip_scales(
     scales: Dict[str, float], skip: Iterable[str]
 ) -> Dict[str, float]:
-    """Zero the calibration scale of every conv whose path ends with one of
-    ``skip`` — those convs then take the float fallback in
-    ``quantized_apply``. Default serving policy (cfg.TPU.INT8_SKIP) keeps the
-    four header output convs ("head") in float: they are <0.5% of FLOPs but
-    carry the heatmap logits and the vertex regression whose int8 error is
-    amplified by the 3D solver's residual<RESIDUAL_THRESH acceptance gate
-    (measured on a trained checkpoint: full-int8 accepts 11/93 detections;
-    float-head int8 restores acceptance — see PARITY.md)."""
-    skip = tuple(skip)
-    return {
-        k: (0.0 if k.endswith(skip) else v) for k, v in scales.items()
-    }
+    """Zero the calibration scale of convs matched by ``skip`` — those convs
+    then take the float fallback in ``quantized_apply``. A pattern ending in
+    "/" matches path PREFIXES (whole submodule, e.g. a header branch);
+    anything else matches path SUFFIXES (e.g. "/head", the output convs).
+
+    Default serving policy (cfg.TPU.INT8_SKIP) keeps the vertex-regression
+    branch and the output convs in float: their int8 error is amplified by
+    the 3D solver's residual<RESIDUAL_THRESH acceptance gate (measured on a
+    trained checkpoint — full-int8 accepts 11/108 detections, float-head 28,
+    float vertex branch restores parity; see PARITY.md)."""
+    prefixes = tuple(p for p in skip if p.endswith("/"))
+    suffixes = tuple(p for p in skip if not p.endswith("/"))
+
+    def hit(k: str) -> bool:
+        return (bool(suffixes) and k.endswith(suffixes)) or (
+            bool(prefixes) and k.startswith(prefixes)
+        )
+
+    return {k: (0.0 if hit(k) else v) for k, v in scales.items()}
 
 
 def calibrate_act_scales(

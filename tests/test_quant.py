@@ -111,6 +111,12 @@ def test_skip_scales_zeroes_suffix_matches():
     assert out["backbone/conv1"] == 1.5
     assert out["detect_header/main_kf/convs/layer0/conv"] == 2.0
     assert skip_scales(scales, ()) == scales
+    # trailing "/" = whole-submodule prefix match
+    out = skip_scales(scales, ("detect_header/main_kf/",))
+    assert out["detect_header/main_kf/head"] == 0.0
+    assert out["detect_header/main_kf/convs/layer0/conv"] == 0.0
+    assert out["detect_header/offset_fr_main/head"] == 0.5
+    assert out["backbone/conv1"] == 1.5
 
 
 def test_scales_roundtrip(tmp_path):

@@ -66,9 +66,14 @@ def main():
     policies = {
         "full": scales,
         "float-head": skip_scales(scales, ("/head",)),
-        "float-header": {
-            k: (0.0 if k.startswith("header/") else v) for k, v in scales.items()
-        },
+        # the residual<0.1 gate consumes v_proj = f(offset_fr_main branch,
+        # main_offset branch); keep exactly those float, quantize the rest
+        # (incl. the heatmap branch and the dead vertex_offset branch)
+        "float-vertex": skip_scales(
+            scales,
+            ("/head", "detect_header/offset_fr_main/", "detect_header/main_offset/"),
+        ),
+        "float-header": skip_scales(scales, ("detect_header/",)),
     }
     res_float = os.path.join(args.work_dir, "results_jax")
     report = {}
