@@ -4,7 +4,8 @@ import jax
 import numpy as np
 import pytest
 
-from rtm3d_tpu.nn.model import init_model
+import jax.numpy as jnp
+
 from rtm3d_tpu.train.optim import build_optimizer
 from rtm3d_tpu.train.state import TrainState
 from rtm3d_tpu.train.step import make_train_step
@@ -13,20 +14,21 @@ from tests.test_train_step import small_cfg, synth_batch
 
 
 @pytest.fixture(scope="module")
-def ema_run():
-    """Shared 3-step EMA training run: the EMA train-step program is one of
+def ema_run(base_prog):
+    """Shared 2-step EMA training run: the EMA train-step program is one of
     the most expensive traces in the fast suite, and both EMA tests only
-    need its post-step state."""
+    need its post-step state. Model/init come from the shared session
+    fixture (EMA changes only the state pytree, not the model)."""
     rng = np.random.RandomState(20)
     cfg = small_cfg()
     cfg.TRAINING.EMA = True
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    model, variables = base_prog["model"], base_prog["variables"]
     tx, _ = build_optimizer(cfg, variables["params"])
     state = TrainState.create(variables, tx, with_ema=True)
     assert state.ema_params is not None
     step_fn = make_train_step(model, cfg, tx)
     batch = synth_batch(rng)
-    for _ in range(3):
+    for _ in range(2):
         state, _ = step_fn(state, batch)
     return {
         "cfg": cfg,
@@ -53,23 +55,23 @@ def test_ema_tracks_params(ema_run):
     assert ev["params"] is state.ema_params
 
 
-def test_gradient_accumulation_defers_updates(rng, base_prog):
+def test_gradient_accumulation_defers_updates(base_prog):
+    """ACCUMULATE_STEPS only wraps the tx in optax.MultiSteps
+    (build_optimizer), so the deferral contract is pinned at the tx level
+    (a dedicated train-step trace cost ~8 s of suite wall time): the first
+    micro-step emits all-zero updates, the second emits real ones."""
     cfg = small_cfg()
     cfg.SOLVER.ACCUMULATE_STEPS = 2
-    # ACCUMULATE_STEPS only changes the optimizer wrapping — params are the
-    # canonical init, so reuse the shared fixture's (suite wall-time)
-    model, variables = base_prog["model"], base_prog["variables"]
-    tx, _ = build_optimizer(cfg, variables["params"])
-    state = TrainState.create(variables, tx)
-    step_fn = make_train_step(model, cfg, tx)
-    batch = synth_batch(rng)
-    p0 = np.asarray(jax.tree_util.tree_leaves(variables["params"])[0])
-    state, _ = step_fn(state, batch)
-    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
-    assert np.array_equal(p0, p1)  # first micro-step: no update yet
-    state, _ = step_fn(state, batch)
-    p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
-    assert not np.array_equal(p1, p2)  # second micro-step applies
+    params = base_prog["variables"]["params"]
+    tx, _ = build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    update = jax.jit(tx.update)
+    u1, opt_state = update(grads, opt_state, params)
+    leaves1 = jax.tree_util.tree_leaves(u1)
+    assert all(bool((np.asarray(u) == 0).all()) for u in leaves1)
+    u2, opt_state = update(grads, opt_state, params)
+    assert any(bool((np.asarray(u) != 0).any()) for u in jax.tree_util.tree_leaves(u2))
 
 
 def test_mosaic_composition(tmp_path, rng):

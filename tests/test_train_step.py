@@ -139,22 +139,31 @@ def test_eval_loss_step(rng, base_prog):
     assert np.isfinite(float(out["loss"]))
 
 
-def test_frozen_scope_gets_no_update(rng, base_prog):
+def test_frozen_scope_gets_no_update(base_prog):
+    """EXCLUDE_SCOPE lives entirely in build_optimizer's per-leaf mask, so the
+    contract is pinned at the tx level (tracing a whole train-step variant for
+    it cost ~15 s of suite wall time): with non-zero grads everywhere, the
+    frozen scope's updates are exactly zero and every other scope moves."""
     cfg = small_cfg()
     cfg.SOLVER.EXCLUDE_SCOPE = ("backbone",)
-    # EXCLUDE_SCOPE only masks the optimizer — params are the canonical
-    # init, so reuse the shared fixture's (suite wall-time)
-    model, variables = base_prog["model"], base_prog["variables"]
-    tx, _ = build_optimizer(cfg, variables["params"])
-    state = TrainState.create(variables, tx)
-    step_fn = make_train_step(model, cfg, tx)
-    before = jax.tree_util.tree_map(np.asarray, state.params["backbone"])
-    state, _ = step_fn(state, synth_batch(rng))
-    after = state.params["backbone"]
-    eq = jax.tree_util.tree_map(
-        lambda a, b: np.array_equal(a, np.asarray(b)), before, after
+    params = base_prog["variables"]["params"]
+    tx, _ = build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = jax.jit(tx.update)(grads, opt_state, params)
+    frozen = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(
+            lambda u: bool((np.asarray(u) == 0).all()), updates["backbone"]
+        )
     )
-    assert all(jax.tree_util.tree_leaves(eq))
+    assert all(frozen)
+    live = [
+        bool((np.asarray(u) != 0).any())
+        for k, sub in updates.items()
+        if k != "backbone"
+        for u in jax.tree_util.tree_leaves(sub)
+    ]
+    assert live and all(live)
 
 
 def test_eval_padded_tail_matches_unpadded(rng, base_prog):
