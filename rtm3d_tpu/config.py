@@ -209,6 +209,10 @@ def default_config() -> Config:
         # exact space-to-depth reparameterisation of DLA's stem/level0/level1
         # (low-channel full-res convs underfill the MXU; see layers.py)
         S2D_STEM=True,
+        # s2d block size: 0 = auto (largest of 4/2 dividing the input);
+        # 2/4 force a block for A/B measurement (kernel-FLOP inflation is
+        # b^2 for the stride-1 stem convs, lane fill is b^2*channels)
+        S2D_BLOCK=0,
         DONATE=True,              # donate train-state buffers across steps
         # device-resident dataset (requires DEVICE_WARP): raw uint8 frames
         # live in HBM after a one-time transfer; each step gathers its batch

@@ -163,6 +163,8 @@ class DLABase(nn.Module):
     # low-channel full-res convs that underfill the MXU); numerically
     # equivalent to the plain path — see layers.s2d_conv_kernel
     s2d_stem: bool = True
+    # 0 = auto (largest of 4/2 dividing the input); 2/4 force the block
+    s2d_block: int = 0
 
     @property
     def kfpn_spec(self):
@@ -193,8 +195,13 @@ class DLABase(nn.Module):
             # 4x-smaller grid with 16x the channels (48->256-ch convs fill
             # the MXU's 128 lanes; measured v5e b32 @1280x384: the
             # 192x640-map segment of the step drops ~3x). Block 2 remains
-            # the fallback for inputs divisible by 2 only.
+            # the fallback for inputs divisible by 2 only, and can be
+            # forced via s2d_block for A/B measurement.
             b = 4 if (x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0) else 2
+            if self.s2d_block in (2, 4):
+                b = self.s2d_block
+                if x.shape[1] % b or x.shape[2] % b:
+                    b = 2
             x = space_to_depth(x, b)
             x = S2DConv(ch[0], 7, 1, b, name="base_conv")(x)
             x = nn.relu(grouped_phase_bn(x, b * b, train, name="base_norm"))

@@ -36,13 +36,17 @@ class RTM3D(nn.Module):
     compute_dtype: str = "float32"
     remat: bool = False
     s2d_stem: bool = True
+    s2d_block: int = 0  # 0 = auto (largest of 4/2 dividing the input)
     fuse_header_first: bool = False
 
     def _backbone(self):
         name = self.backbone_name.upper()
         if "DLA-34" in name:
             return DLABase(
-                kfns=tuple(self.kfns), s2d_stem=self.s2d_stem, name="backbone"
+                kfns=tuple(self.kfns),
+                s2d_stem=self.s2d_stem,
+                s2d_block=self.s2d_block,
+                name="backbone",
             )
         if "RESNET" in name:
             depth = int(name.split("-")[-1])
@@ -85,6 +89,7 @@ def create_model(cfg: Config) -> RTM3D:
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         remat=cfg.TPU.REMAT,
         s2d_stem=bool(cfg.TPU.get("S2D_STEM", True)),
+        s2d_block=int(cfg.TPU.get("S2D_BLOCK", 0)),
         fuse_header_first=bool(cfg.TPU.get("FUSE_HEADER_FIRST", False)),
     )
 

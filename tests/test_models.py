@@ -69,6 +69,34 @@ def test_upsample_phase_decomposition_exact():
     )
 
 
+def test_upsample_custom_vjp_matches_autodiff():
+    """UpSample's reverse-free backward (layers._upsample2x) must equal the
+    autodiff of the raw ``lax.conv_transpose`` it replaces — both gradients,
+    including odd spatial sizes."""
+    from rtm3d_tpu.nn.layers import _upsample2x
+
+    rng = np.random.RandomState(4)
+    for (h, w, ci, co) in [(5, 7, 6, 4), (8, 8, 3, 5)]:
+        x = jnp.asarray(rng.randn(2, h, w, ci), jnp.float32)
+        k = jnp.asarray(rng.randn(4, 4, co, ci), jnp.float32)
+        g = jnp.asarray(rng.randn(2, 2 * h, 2 * w, co), jnp.float32)
+
+        def raw(x, k):
+            return jax.lax.conv_transpose(
+                x, k, strides=(2, 2), padding=[(2, 2), (2, 2)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=True,
+            )
+
+        y_ref, vjp_ref = jax.vjp(raw, x, k)
+        y_got, vjp_got = jax.vjp(_upsample2x, x, k)
+        np.testing.assert_array_equal(np.asarray(y_got), np.asarray(y_ref))
+        dx_r, dk_r = vjp_ref(g)
+        dx_g, dk_g = vjp_got(g)
+        np.testing.assert_allclose(np.asarray(dx_g), np.asarray(dx_r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk_g), np.asarray(dk_r), atol=1e-4)
+
+
 def test_resnet18_feature_pyramid():
     m = PoseResNet(depth=18)
     x = jnp.zeros((1, 64, 96, 3))

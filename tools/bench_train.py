@@ -179,6 +179,10 @@ def main():
         "--profile", default="",
         help="capture an XLA profiler trace of the timed steps to this dir",
     )
+    ap.add_argument(
+        "--s2d-block", type=int, default=0,
+        help="force the stem s2d block (2/4); 0 = auto",
+    )
     args = ap.parse_args()
 
     import jax
@@ -198,6 +202,7 @@ def main():
     cfg.INPUT_SIZE = (W, H)
     cfg.DATASET.MAX_OBJS = N
     cfg.TPU.COMPUTE_DTYPE = args.dtype
+    cfg.TPU.S2D_BLOCK = args.s2d_block
 
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     tx, _ = build_optimizer(cfg, variables["params"])
