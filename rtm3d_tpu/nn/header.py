@@ -97,7 +97,9 @@ class RTM3DHeader(nn.Module):
             rhs_dilation=(dil, dil),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = y + bias.reshape((1, 1, 1, -1))
+        # every slice of y feeds a branch's BN, so in train mode the merged
+        # bias is shift-invariant — zero gradient (see Conv.stop_bias_grad)
+        y = y + (jax.lax.stop_gradient(bias) if train else bias).reshape((1, 1, 1, -1))
         width = kbs[0][0].shape[-1]  # each branch's first-conv output channels
         outs = [
             y[..., i * width : (i + 1) * width] for i in range(len(branches))

@@ -171,6 +171,58 @@ def test_model_jits_and_is_deterministic(base_prog):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_stop_bias_grad_is_backward_only():
+    """Conv(stop_bias_grad=True) — used by ConvBNReLU in train mode because a
+    bias feeding train-mode BN is shift-invariant (mathematically zero grad) —
+    must be a backward-only rewrite: identical param tree with bitwise-equal
+    init (path-keyed RNG), bit-identical forward, exactly-zero bias gradient,
+    and an untouched kernel gradient. Eval mode (running-stats BN) keeps the
+    real bias gradient."""
+    from rtm3d_tpu.nn.layers import Conv, ConvBNReLU
+
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 16, 16, 8), jnp.float32)
+    conv = Conv(features=12, kernel_size=3, use_bias=True)
+    v0 = jax.jit(conv.init)(jax.random.PRNGKey(5), x)
+    v1 = jax.jit(conv.init, static_argnames=("stop_bias_grad",))(
+        jax.random.PRNGKey(5), x, stop_bias_grad=True
+    )
+    l0 = jax.tree_util.tree_leaves_with_path(v0)
+    l1 = jax.tree_util.tree_leaves_with_path(v1)
+    assert [p for p, _ in l0] == [p for p, _ in l1]
+    for (path, a), (_, b) in zip(l0, l1):
+        assert a.shape == b.shape and bool((a == b).all()), path
+    y0 = jax.jit(conv.apply)(v0, x)
+    y1 = jax.jit(conv.apply, static_argnames=("stop_bias_grad",))(
+        v0, x, stop_bias_grad=True
+    )
+    assert np.array_equal(np.asarray(y0), np.asarray(y1))
+
+    block = ConvBNReLU(features=12, use_bias=True)
+    vb = jax.jit(block.init, static_argnames=("train",))(
+        jax.random.PRNGKey(6), x, train=True
+    )
+
+    def loss(params, train):
+        out = block.apply(
+            {"params": params, "batch_stats": vb["batch_stats"]},
+            x,
+            train=train,
+            mutable=["batch_stats"] if train else False,
+        )
+        o = out[0] if train else out
+        return jnp.sum(o * jnp.cos(o))
+
+    g_train = jax.jit(jax.grad(loss), static_argnames=("train",))(
+        vb["params"], train=True
+    )
+    assert bool((np.asarray(g_train["conv"]["conv"]["bias"]) == 0.0).all())
+    assert float(np.abs(np.asarray(g_train["conv"]["conv"]["kernel"])).max()) > 0
+    g_eval = jax.jit(jax.grad(loss), static_argnames=("train",))(
+        vb["params"], train=False
+    )
+    assert float(np.abs(np.asarray(g_eval["conv"]["conv"]["bias"])).max()) > 0
+
+
 @pytest.mark.slow  # exercises the OFF-by-default fuse_first option
 def test_fused_header_first_conv_exact():
     """The fused header (four first convs merged into one wide conv,
