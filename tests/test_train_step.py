@@ -71,6 +71,16 @@ def test_warmup_multistep_schedule_values():
     assert float(sched(25)) == pytest.approx(0.0001, rel=1e-5)
 
 
+def test_multistep_gamma_power_values_exact():
+    """Post-warmup multistep lr is bitwise base*jnp.power(gamma, n)."""
+    sched = warmup_multistep_schedule(
+        0.01, (10, 20), 0.1, warmup_factor=0.001, warmup_iters=5
+    )
+    for s, n in [(7, 0), (12, 1), (25, 2), (10**6, 2)]:
+        want = float(0.01 * jnp.power(jnp.float32(0.1), jnp.float32(n)))
+        assert float(sched(s)) == want, s
+
+
 def test_param_group_classification():
     cfg = small_cfg()
     _, variables = init_model(cfg, jax.random.PRNGKey(0))
