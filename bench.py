@@ -5,8 +5,8 @@ decode + batched LM 3D recovery — images/sec on the local accelerator,
 batch 128 at 1280x384 (the KITTI rect resolution the reference trains at,
 rtm3d_dla34_kitti.yaml INPUT_SIZE 1280 with IS_RECT). Batch scaling on
 v5e-1, trace-measured device time: 208 (b8) / 361 (b64) / 384 (b96) /
-398 (b128) / 383 (b192) img/s; b256 exceeds HBM — batch 128 is the
-throughput-optimal serving batch.
+393-398 (b128, driver-captured BENCH_r03 = 393.1) / 383 (b192) img/s;
+b256 exceeds HBM — batch 128 is the throughput-optimal serving batch.
 
 Prints ONE JSON line. ``vs_baseline`` is relative to the upstream RTM3D
 paper's published DLA-34 runtime (0.055 s/image ~= 18.2 FPS on a GTX 1080Ti,

@@ -193,6 +193,28 @@ def _geom_lib() -> Optional[ctypes.CDLL]:
     return _GEOM_LIB
 
 
+_FALLBACK_WARNED = False
+
+
+def _warn_python_fallback() -> None:
+    """One-line warning, once per process, when the native overlap kernel is
+    unavailable and evaluation degrades to the quadratic pure-python clipper
+    (minutes instead of seconds at real-val scale)."""
+    global _FALLBACK_WARNED
+    if _FALLBACK_WARNED:
+        return
+    _FALLBACK_WARNED = True
+    import warnings
+
+    warnings.warn(
+        "eval/ap.py: native overlap kernel (native/libgeometry.so) unavailable; "
+        "falling back to the pure-python BEV clipper — large evaluations will "
+        "be slow. Build it with `make -C native` or set RTM3D_GEOMETRY_LIB.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def bev_intersection_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(na,5) x (nb,5) boxes (x, z, w, l, ry) -> (na, nb) intersection areas."""
     a = np.ascontiguousarray(a, np.float32)
@@ -205,6 +227,7 @@ def bev_intersection_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if lib is not None:
         lib.bev_intersection_matrix(a, na, b, nb, out)
         return out
+    _warn_python_fallback()
     for i in range(na):
         for j in range(nb):
             out[i, j] = bev_overlap(a[i], b[j])

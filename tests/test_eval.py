@@ -399,3 +399,24 @@ def test_ap_recall_points_perfect_is_one_on_both_grids():
     for rp in (11, 40):
         ap = evaluate_ap(gts, dets, "Car", "bbox", "easy", recall_points=rp)
         assert abs(ap - 1.0) < 1e-9
+
+
+def test_python_fallback_warns_once(monkeypatch):
+    """When the native overlap kernel is unavailable, the first pure-python
+    bev_intersection_matrix call emits exactly one RuntimeWarning."""
+    import warnings
+
+    from rtm3d_tpu.eval import ap as ap_mod
+
+    monkeypatch.setattr(ap_mod, "_geom_lib", lambda: None)
+    monkeypatch.setattr(ap_mod, "_FALLBACK_WARNED", False)
+    a = np.array([[0.0, 10.0, 1.6, 3.9, 0.0]], np.float32)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out1 = ap_mod.bev_intersection_matrix(a, a)
+        out2 = ap_mod.bev_intersection_matrix(a, a)
+    msgs = [w for w in rec if issubclass(w.category, RuntimeWarning)
+            and "native overlap kernel" in str(w.message)]
+    assert len(msgs) == 1
+    assert out1[0, 0] == pytest.approx(1.6 * 3.9, rel=1e-5)
+    assert np.allclose(out1, out2)

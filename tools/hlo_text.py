@@ -9,12 +9,14 @@ Usage: python tools/hlo_text.py OUT.txt [--dtype bfloat16] [--batch 32]
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
-sys.path.insert(0, __file__.rsplit("/", 1)[0])
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
 from bench_train import synth_batch  # noqa: E402  (tools/ sibling)
 
