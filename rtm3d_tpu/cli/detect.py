@@ -43,7 +43,22 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument(
         "--int8", action="store_true",
-        help="int8 serving path (post-training quantized convs, nn/quant.py)",
+        help="int8 serving path (post-training quantized convs, nn/quant.py). "
+        "2D-ONLY by default: the 3D residual<0.1 acceptance gate demands "
+        "vertex precision int8 features cannot carry (measured ~26%% of the "
+        "float path's accepted 3D detections, PARITY.md) — pass "
+        "--int8-3d-anyway to emit 3D output regardless",
+    )
+    p.add_argument(
+        "--int8-3d-anyway", action="store_true",
+        help="explicit acknowledgement: run the 3D solve under --int8 even "
+        "though the residual gate keeps only ~26%% of the float path's 3D "
+        "detections; prefer bf16 serving when the 3D box is the product",
+    )
+    p.add_argument(
+        "--int8-no-gate", action="store_true",
+        help="skip the default int8-vs-float 2D consistency gate that runs "
+        "over the calibration batches at serving start",
     )
     p.add_argument(
         "--calib-batches", type=int, default=2,
@@ -140,10 +155,19 @@ def main(argv=None):
         ckpt = args.checkpoint or cfg.DETECTOR.CHECKPOINT
         variables = load_variables(cfg, model, ckpt, cfg.INPUT_SIZE)
 
-        apply_fn = None
+        apply_fn, with_3d = None, True
         if args.int8:
-            apply_fn = _int8_apply_fn(args, cfg, model, variables, ds)
-        detect = make_detect_step(model, cfg, with_3d=True, apply_fn=apply_fn)
+            apply_fn, calib = _int8_apply_fn(args, cfg, model, variables, ds)
+            with_3d = args.int8_3d_anyway
+            if not with_3d:
+                print(
+                    "int8: serving 2D-only (the 3D residual gate keeps ~26% "
+                    "of float 3D detections under int8 — PARITY.md); pass "
+                    "--int8-3d-anyway to emit 3D output, or serve bf16"
+                )
+            if calib and not args.int8_no_gate:
+                _int8_float_gate(cfg, model, variables, apply_fn, calib)
+        detect = make_detect_step(model, cfg, with_3d=with_3d, apply_fn=apply_fn)
 
     # multi-chip: shard the batch over the data axis, replicate the params
     # (data-parallel serving; the reference has no multi-GPU inference path)
@@ -239,7 +263,11 @@ def main(argv=None):
 def _int8_apply_fn(args, cfg, model, variables, ds):
     """Build the quantized apply: load saved activation scales, or sweep
     ``--calib-batches`` split batches (from the already-constructed dataset)
-    through the same normalisation the detect step applies."""
+    through the same normalisation the detect step applies.
+
+    Returns ``(apply_fn, calib)`` where ``calib`` is the list of normalised
+    calibration batches when calibration ran (None when scales were loaded
+    from disk) — the default int8-vs-float consistency gate reuses it."""
     from rtm3d_tpu.nn.quant import (
         calibrate_act_scales,
         load_act_scales,
@@ -248,6 +276,7 @@ def _int8_apply_fn(args, cfg, model, variables, ds):
         skip_scales,
     )
 
+    calib = None
     if args.calib_scales and os.path.exists(args.calib_scales):
         scales = load_act_scales(args.calib_scales)
         print(f"int8: loaded {len(scales)} activation scales from {args.calib_scales}")
@@ -276,7 +305,73 @@ def _int8_apply_fn(args, cfg, model, variables, ds):
     skip = tuple(cfg.TPU.get("INT8_SKIP", ()))
     if skip:
         scales = skip_scales(scales, skip)
-    return quantized_apply(model, scales)
+    return quantized_apply(model, scales), calib
+
+
+def _int8_float_gate(cfg, model, variables, apply_fn, calib, iou_thresh=0.5):
+    """Default-on serving gate: decode the calibration batches through BOTH
+    the float and the int8 forward and compare the score-gated 2D candidate
+    sets (class + IoU>=0.5 match). No ground truth needed — the float path
+    is the reference. One line of output; a WARNING when int8 keeps <90% of
+    the float path's 2D detections (use evaluate --int8-guard for the full
+    gt-scored AP gate)."""
+    from rtm3d_tpu.decode.peaks import decode_detections
+    from rtm3d_tpu.eval.ap import iou_2d_matrix
+
+    topk = int(cfg.DETECTOR.TOPK_CANDIDATES)
+    thresh = float(cfg.DETECTOR.SCORE_THRESH)
+    down = float(cfg.MODEL.DOWN_SAMPLE)
+    compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
+
+    def make_fn(apply):
+        def f(variables, images):
+            if compute_dtype != jnp.float32:
+                variables = jax.tree_util.tree_map(
+                    lambda p: p.astype(compute_dtype)
+                    if getattr(p, "dtype", None) == jnp.float32
+                    else p,
+                    variables,
+                )
+            logits = (apply or model.apply)(variables, images, train=False)
+            return decode_detections(
+                logits, score_thresh=thresh, topk=topk, down_sample=down
+            )
+
+        return jax.jit(f)
+
+    f_float, f_int8 = make_fn(None), make_fn(apply_fn)
+    n_float = n_int8 = n_matched = 0
+    for images in calib:
+        df = jax.device_get(f_float(variables, images))
+        dq = jax.device_get(f_int8(variables, images))
+        for bi in range(images.shape[0]):
+            vf, vq = df["valid"][bi], dq["valid"][bi]
+            n_float += int(vf.sum())
+            n_int8 += int(vq.sum())
+            if not (vf.any() and vq.any()):
+                continue
+            bf, bq = df["bbox2d"][bi][vf], dq["bbox2d"][bi][vq]
+            cf, cq = df["cls"][bi][vf], dq["cls"][bi][vq]
+            iou = iou_2d_matrix(np.asarray(bf, np.float64), np.asarray(bq, np.float64))
+            iou[cf[:, None] != cq[None, :]] = 0.0
+            # greedy one-to-one matching by IoU
+            while iou.size and iou.max() >= iou_thresh:
+                i, j = np.unravel_index(np.argmax(iou), iou.shape)
+                n_matched += 1
+                iou[i, :] = 0.0
+                iou[:, j] = 0.0
+    recall = n_matched / n_float if n_float else 1.0
+    line = (
+        f"int8 gate (float-reference, {len(calib)} calib batches): "
+        f"float 2D detections {n_float}, int8 {n_int8}, matched {n_matched} "
+        f"(recall {recall:.2f})"
+    )
+    if recall < 0.9:
+        print(f"WARNING: {line} — int8 is dropping float detections; "
+              "run evaluate --int8-guard before deploying")
+    else:
+        print(line)
+    return recall
 
 
 def _save_vis(args, cfg, batch, det, bi, name):
@@ -313,13 +408,17 @@ def _save_vis(args, cfg, batch, det, bi, name):
     base = img.copy()  # clean frame for the comparison panel
     K = batch["calib"][bi].reshape(3, 3)
     acc = det["accepted"][bi]
+    has_3d = "dim" in det  # 2D-only serving (int8 default) draws no 3D boxes
     if acc.any():
         draw_bbox2d(img, det["bbox2d"][bi][acc], det["cls"][bi][acc], det["scores"][bi][acc], list(cfg.DATASET.OBJs))
         draw_keypoints(img, det["m_proj"][bi][acc])
-        for i in np.where(acc)[0]:
-            draw_bbox3d(img, det["dim"][bi][i], det["loc"][bi][i], det["ry"][bi][i], K)
+        if has_3d:
+            for i in np.where(acc)[0]:
+                draw_bbox3d(img, det["dim"][bi][i], det["loc"][bi][i], det["ry"][bi][i], K)
     os.makedirs(args.save_vis, exist_ok=True)
     cv2.imwrite(os.path.join(args.save_vis, f"{name}.png"), img)
+    if not has_3d:
+        return  # the panel + BEV views are 3D renderings
     # 3-row gt/pred comparison panel (reference detect.py:64-104 stacked
     # display: keypoints+2D / solved 3D with front-face fill / regressed
     # vertices), with gt boxes underneath in gray

@@ -55,7 +55,11 @@ def _run_detect(args, data_path, out_dir, int8: bool):
     if args.checkpoint:
         det_args += ["--checkpoint", args.checkpoint]
     if int8:
-        det_args += ["--int8"]
+        # the evaluator MEASURES the int8 3D accuracy drop, so it explicitly
+        # opts into 3D output (serving defaults to 2D-only under --int8) and
+        # skips the calib-batch consistency gate — the full gt-scored AP
+        # comparison below is the stronger version of that gate
+        det_args += ["--int8", "--int8-3d-anyway", "--int8-no-gate"]
     if args.set:
         det_args += ["--set"] + list(args.set)
     detect_cli.main(det_args)

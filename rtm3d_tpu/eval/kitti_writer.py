@@ -24,21 +24,32 @@ def alpha_from_ry(ry: float, x: float, z: float) -> float:
 def detections_to_lines(det: Dict[str, np.ndarray], class_names: Sequence[str], img_index: int):
     """Format one image's accepted detections (fixed arrays + masks) as KITTI
     lines. det fields: cls, scores, accepted, bbox2d, ry, dim, loc — already
-    sliced to a single image (K, ...)."""
+    sliced to a single image (K, ...).
+
+    2D-only detections (no ry/dim/loc fields, e.g. the int8 serving default)
+    are written with the KITTI 2D-submission placeholders: dims -1, location
+    -1000, ry/alpha -10 — the convention KITTI's devkit treats as
+    "3D fields not evaluated"."""
     lines = []
     acc = np.asarray(det["accepted"][img_index])
+    has_3d = "dim" in det and "loc" in det and "ry" in det
     for i in np.where(acc)[0]:
         c = int(det["cls"][img_index][i])
         name = class_names[c]
         x1, y1, x2, y2 = (float(v) for v in det["bbox2d"][img_index][i])
-        h, w, l = (float(v) for v in det["dim"][img_index][i])
-        x, y, z = (float(v) for v in det["loc"][img_index][i])
-        # the 3D solver parameterises Y at the box center (solve3d.py);
-        # KITTI location is the bottom-face center
-        y = y + h / 2
-        ry = float(det["ry"][img_index][i])
         score = float(det["scores"][img_index][i])
-        alpha = alpha_from_ry(ry, x, z)
+        if has_3d:
+            h, w, l = (float(v) for v in det["dim"][img_index][i])
+            x, y, z = (float(v) for v in det["loc"][img_index][i])
+            # the 3D solver parameterises Y at the box center (solve3d.py);
+            # KITTI location is the bottom-face center
+            y = y + h / 2
+            ry = float(det["ry"][img_index][i])
+            alpha = alpha_from_ry(ry, x, z)
+        else:
+            h = w = l = -1.0
+            x = y = z = -1000.0
+            ry = alpha = -10.0
         lines.append(
             f"{name} 0.00 0 {alpha:.2f} {x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
             f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f} {score:.4f}"

@@ -191,3 +191,45 @@ def test_evaluate_cli_int8(workdir):
         ]
     )
     assert "Car_3d_moderate" in results
+
+
+@pytest.mark.slow
+def test_detect_cli_int8_is_2d_only_by_default(workdir, capsys):
+    """Structural int8 honesty: `detect --int8` serves 2D-only (the residual
+    gate keeps ~26% of float 3D detections under int8), prints the notice,
+    and runs the default float-consistency gate over the calibration
+    batches; --int8-3d-anyway restores 3D output."""
+    from rtm3d_tpu.cli.detect import main as detect_main
+
+    wdir = os.path.join(workdir["root"], "weights", "RESNET-18")
+    base = [
+        "--model-config", workdir["cfg"],
+        "--data-path", workdir["data"],
+        "--split", "test",
+        "--checkpoint", os.path.join(wdir, "model_best.msgpack"),
+        "--batch-size", "2",
+    ]
+    out_2d = os.path.join(workdir["root"], "results_int8_2d")
+    detect_main(base + ["--out-dir", out_2d, "--int8"])
+    out = capsys.readouterr().out
+    assert "serving 2D-only" in out
+    assert "int8 gate (float-reference" in out
+    with open(os.path.join(workdir["data"], "ImageSets", "test.txt")) as f:
+        names = f.read().splitlines()
+    for n in names:
+        p = os.path.join(out_2d, f"{n}.txt")
+        assert os.path.exists(p)
+        for line in open(p):
+            fields = line.split()
+            if fields:  # any emitted row carries the 2D-only placeholders
+                assert fields[8] == "-1.00" and fields[14] == "-10.00"
+
+    out_3d = os.path.join(workdir["root"], "results_int8_3d")
+    detect_main(
+        base + ["--out-dir", out_3d, "--int8", "--int8-3d-anyway", "--int8-no-gate"]
+    )
+    out = capsys.readouterr().out
+    assert "serving 2D-only" not in out
+    assert "int8 gate" not in out
+    for n in names:
+        assert os.path.exists(os.path.join(out_3d, f"{n}.txt"))

@@ -420,3 +420,24 @@ def test_python_fallback_warns_once(monkeypatch):
     assert len(msgs) == 1
     assert out1[0, 0] == pytest.approx(1.6 * 3.9, rel=1e-5)
     assert np.allclose(out1, out2)
+
+
+def test_detections_to_lines_2d_only_placeholders():
+    """2D-only detections (no ry/dim/loc — the int8 serving default) are
+    written with the KITTI 2D-submission placeholders (dims -1, loc -1000,
+    ry/alpha -10)."""
+    det = {
+        "cls": np.array([[0]]),
+        "scores": np.array([[0.9]]),
+        "accepted": np.array([[True]]),
+        "bbox2d": np.array([[[10.0, 20.0, 110.0, 80.0]]]),
+    }
+    lines = detections_to_lines(det, ["Car", "Pedestrian", "Cyclist"], 0)
+    assert len(lines) == 1
+    f = lines[0].split()
+    assert f[0] == "Car"
+    assert f[3] == "-10.00"                        # alpha
+    assert f[8] == f[9] == f[10] == "-1.00"        # h w l
+    assert f[11] == f[12] == f[13] == "-1000.00"   # x y z
+    assert f[14] == "-10.00"                       # ry
+    assert float(f[15]) == pytest.approx(0.9)
