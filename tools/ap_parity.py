@@ -30,9 +30,14 @@ then serves the SAME weights through both inference pipelines via the
 jax->torch exporter (train/checkpoint.py export_torch_weights) and compares
 AP at the true score/residual gates.
 
+Both modes take ``backbone`` ('RESNET-18' or 'DLA-34'): the DLA-34 twin is
+the recursive Tree/Root restatement from tests/test_model_parity.py (the
+reference's flagship recipe, /root/reference/models/configs/rtm3d_dla34_kitti.yaml
++ models/nets/dla.py:103-332).
+
 Usage:
   python tools/ap_parity.py [--steps 300] [--out report.json]
-  python tools/ap_parity.py --production --input-size 512 --steps 3000
+  python tools/ap_parity.py --production --backbone DLA-34 --input-size 512
 """
 
 from __future__ import annotations
@@ -40,6 +45,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import pickle
 import sys
 
 from typing import Dict
@@ -48,41 +54,61 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+BACKBONES = ("RESNET-18", "DLA-34")
 
-def build_torch_twin(seed: int = 5):
-    """Full torch model twin: torchvision-layout ResNet-18 trunk + the KFPN
-    and header twins (reference model.py:9-18 composition), BN eps 1e-4 /
-    momentum 0.03 like reference initialize_weights (torch_utils.py:79-81)."""
+
+# ---------------------------------------------------------------------------
+# Shared scaffolding: twin builder, config builder, fixture, train-loop bits
+# ---------------------------------------------------------------------------
+
+
+def build_torch_twin(seed: int = 5, backbone: str = "RESNET-18"):
+    """Full torch model twin for either backbone: torchvision-layout
+    ResNet-18 trunk or the recursive DLA-34 Tree/Root restatement
+    (tests/test_model_parity.py), plus the KFPN and header twins (reference
+    model.py:9-18 composition), BN eps 1e-4 / momentum 0.03 like reference
+    initialize_weights (torch_utils.py:79-81)."""
     import torch
     import torch.nn as nn
 
-    from tests.test_checkpoint import _torch_resnet18
-    from tests.test_model_parity import THeader, TKFPN
+    from tests.test_model_parity import TDLA, THeader, TKFPN
 
     class TPoseModel(nn.Module):
-        def __init__(self):
+        def __init__(self, trunk, chans):
             super().__init__()
-            self.backbone = _torch_resnet18()
-            self.kfpn_fusion = TKFPN(chans=(64, 128, 256, 512))
+            self.backbone = trunk
+            self.kfpn_fusion = TKFPN(chans=chans)
             self.detect_header = THeader()
 
         def forward(self, x):
             return self.detect_header(self.kfpn_fusion(self.backbone(x)))
 
     torch.manual_seed(seed)
-    twin = TPoseModel()
+    if backbone == "DLA-34":
+        twin = TPoseModel(TDLA(), (64, 128, 256, 512))
+    else:
+        from tests.test_checkpoint import _torch_resnet18
+
+        twin = TPoseModel(_torch_resnet18(), (64, 128, 256, 512))
     for mod in twin.modules():
         if isinstance(mod, nn.BatchNorm2d):
             mod.momentum = 0.03
     return twin
 
 
-def make_config(data_path: str, input_size: int, batch: int, lr: float):
+def make_config(
+    data_path: str, input_size: int, batch: int, lr: float,
+    backbone: str = "RESNET-18",
+):
     from rtm3d_tpu.config import default_config
 
     cfg = default_config()
-    cfg.MODEL.BACKBONE = "RESNET-18"
-    cfg.MODEL.KFNs = ["layer1", "layer2", "layer3", "layer4"]
+    cfg.MODEL.BACKBONE = backbone
+    cfg.MODEL.KFNs = (
+        ["level2", "level3", "level4", "level5"]
+        if backbone == "DLA-34"
+        else ["layer1", "layer2", "layer3", "layer4"]
+    )
     cfg.INPUT_SIZE = (input_size, input_size)
     cfg.IS_RECT = True
     cfg.BATCH_SIZE = batch
@@ -97,6 +123,106 @@ def make_config(data_path: str, input_size: int, batch: int, lr: float):
     cfg.TPU.NORMALIZE_ON_DEVICE = False  # host floats: both stacks eat the
     # exact same normalised pixels
     return cfg
+
+
+def _fixture(work_dir, input_size, num_train, num_test, seed, img_hw=None):
+    """Synthetic KITTI fixture sized to the network input: 4:3 frames so gt
+    pixel heights scale with --input-size (at 256 every gt is ~8-34 px, below
+    the devkit's 40/25/25 px difficulty buckets; at 512 cars span ~16-68 px
+    and populate the real buckets)."""
+    from rtm3d_tpu.data.synthetic import generate_kitti
+
+    os.makedirs(work_dir, exist_ok=True)
+    if img_hw is None:
+        img_hw = (3 * input_size // 4, input_size)
+    return generate_kitti(
+        os.path.join(work_dir, "kitti"),
+        num_train=num_train,
+        num_test=num_test,
+        img_hw=img_hw,
+        max_objs=4,
+        seed=seed,
+    )
+
+
+def _atomic_pickle(path, obj):
+    with open(path + ".tmp", "wb") as f:
+        pickle.dump(obj, f)
+    os.replace(path + ".tmp", path)
+
+
+def _load_pickle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _step_stream(loader, steps, start_step):
+    """(step_i, batch) stream from ``start_step``: the deterministic loader
+    makes the position a pure function of the step index, so resume replays
+    the identical stream."""
+    si = start_step
+    steps_per_epoch = max(1, len(loader))
+    while si < steps:
+        epoch = si // steps_per_epoch
+        loader.set_epoch(epoch)
+        skip = si % steps_per_epoch
+        for bi, b in enumerate(loader):
+            if si >= steps:
+                break
+            if bi < skip:
+                continue
+            yield si, b
+            si += 1
+
+
+def _init_jax_stack(cfg, ds, init_seed: int = 0):
+    """(model, variables, tx, state, train_step) for the jax training leg."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtm3d_tpu.nn.model import create_model
+    from rtm3d_tpu.train.optim import build_optimizer
+    from rtm3d_tpu.train.state import TrainState
+    from rtm3d_tpu.train.step import make_train_step
+
+    model = create_model(cfg)
+    cfg.INPUT_SIZE = tuple(ds.img_size)
+    w, h = cfg.INPUT_SIZE
+    # jit the init: flax's op-by-op eager init dispatches hundreds of tiny
+    # ops through the (tunneled) runtime — minutes of startup at this scale
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(init_seed), jnp.zeros((1, h, w, 3))
+    )
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables, tx)
+    return model, variables, tx, state, make_train_step(model, cfg, tx)
+
+
+def _cfg_block(cfg, backbone, min_overlap, min_height, **extra):
+    w, h = cfg.INPUT_SIZE
+    out = {
+        "backbone": backbone, "input": [w, h],
+        "score_thresh": float(cfg.DETECTOR.SCORE_THRESH),
+        "residual_thresh": float(cfg.DETECTOR.RESIDUAL_THRESH),
+        "min_overlap": min_overlap, "min_height": min_height,
+    }
+    out.update(extra)
+    return out
+
+
+def _maybe_bootstrap(out, data, res_dirs, bootstrap, min_overlap, min_height,
+                     split, progress):
+    if bootstrap:
+        progress(f"bootstrap: {bootstrap} resamples over the {split} images")
+        out["bootstrap"] = bootstrap_cis(
+            data, res_dirs, n_resamples=bootstrap,
+            min_overlap=min_overlap, min_height=min_height, split=split,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Side-by-side mode: both stacks trained from identical imported init
+# ---------------------------------------------------------------------------
 
 
 def run_ap_parity(
@@ -119,40 +245,18 @@ def run_ap_parity(
     min_height: float | None = None,
     bootstrap: int = 0,
     rescore_only: bool = False,
+    backbone: str = "RESNET-18",
 ) -> dict:
-    import pickle
-
     import jax
     import jax.numpy as jnp
     import torch
 
     from rtm3d_tpu.data.kitti import create_dataset
     from rtm3d_tpu.data.loader import DataLoader
-    from rtm3d_tpu.data.synthetic import generate_kitti
     from rtm3d_tpu.data.targets import build_targets
-    from rtm3d_tpu.nn.model import create_model
     from rtm3d_tpu.train.checkpoint import import_torch_weights
-    from rtm3d_tpu.train.optim import build_optimizer
-    from rtm3d_tpu.train.state import TrainState
-    from rtm3d_tpu.train.step import make_train_step
     from tests.test_train_parity import _torch_loss, _torch_optimizer
 
-    os.makedirs(work_dir, exist_ok=True)
-    if img_hw is None:
-        # 4:3 synthetic frames matching the network input, so gt pixel
-        # heights scale with --input-size: at 256 every gt is ~8-34 px
-        # (below the devkit's 40/25/25 px difficulty buckets), at 512 cars
-        # span ~16-68 px and populate the real devkit buckets
-        img_hw = (3 * input_size // 4, input_size)
-    data = generate_kitti(
-        os.path.join(work_dir, "kitti"),
-        num_train=num_train,
-        num_test=num_test,
-        img_hw=img_hw,
-        max_objs=4,
-        seed=seed,
-    )
-    cfg = make_config(data, input_size, batch, lr)
     if rescore_only:
         # re-score the four existing results_* dirs under different SCORING
         # bars (min_overlap / min_height) without retraining or re-running
@@ -169,6 +273,9 @@ def run_ap_parity(
                 f"rescore_only: missing results dirs {missing}; run the "
                 "full harness first"
             )
+        # (re)generate the deterministic fixture: the scorer reads its
+        # ImageSets split + gt labels (idempotent for a given seed/sizes)
+        data = _fixture(work_dir, input_size, num_train, num_test, seed, img_hw)
         out = {
             "config": {
                 "rescore_of": work_dir, "steps": steps,
@@ -180,13 +287,12 @@ def run_ap_parity(
                 min_overlap=min_overlap, min_height=min_height,
             ),
         }
-        if bootstrap:
-            progress(f"bootstrap: {bootstrap} resamples over {num_test} test images")
-            out["bootstrap"] = bootstrap_cis(
-                data, res, n_resamples=bootstrap,
-                min_overlap=min_overlap, min_height=min_height,
-            )
+        _maybe_bootstrap(out, data, res, bootstrap, min_overlap, min_height,
+                         "test", progress)
         return out
+
+    data = _fixture(work_dir, input_size, num_train, num_test, seed, img_hw)
+    cfg = make_config(data, input_size, batch, lr, backbone)
     # gate-relaxed scoring mode: the production gates (score >= 0.25,
     # solver residual < 0.1) reject everything until the model is far into
     # training; relaxing them IDENTICALLY on both stacks turns the AP
@@ -199,17 +305,18 @@ def run_ap_parity(
         cfg.DETECTOR.RESIDUAL_THRESH = float(residual_thresh)
 
     # --- identical init: torch twin state_dict -> jax importer ---
-    twin = build_torch_twin()
+    twin = build_torch_twin(backbone=backbone)
     sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
-    model = create_model(cfg)
     # standard train augmentation: the loader's batch-keyed RNG makes the
     # stream deterministic, and BOTH stacks consume the same produced batch
     ds = create_dataset(data, cfg, is_training=True, split="train")
-    cfg.INPUT_SIZE = tuple(ds.img_size)
+    model, variables, tx, state, train_step = _init_jax_stack(cfg, ds)
     w, h = cfg.INPUT_SIZE
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)))
     variables, report = import_torch_weights(variables, sd)
     assert not report["missed"], report["missed"][:8]
+    from rtm3d_tpu.train.state import TrainState
+
+    state = TrainState.create(variables, tx)
     progress(f"init: imported {len(report['loaded'])} tensors; input {w}x{h}")
 
     feat_hw = (h // 4, w // 4)
@@ -219,9 +326,6 @@ def run_ap_parity(
     build_tgts = jax.jit(lambda labels: build_targets(labels, feat_hw, 3))
 
     # --- optimizers (same policy both sides; constant LR) ---
-    tx, _ = build_optimizer(cfg, variables["params"])
-    state = TrainState.create(variables, tx)
-    train_step = make_train_step(model, cfg, tx)
     s = cfg.SOLVER
     topt = _torch_optimizer(
         twin, s.BASE_LR, s.WEIGHT_DECAY, s.WEIGHT_DECAY_BIAS,
@@ -229,7 +333,7 @@ def run_ap_parity(
     )
     twin.train()
 
-    # --- identical data stream: deterministic loader, no augmentation ---
+    # --- identical data stream: deterministic loader ---
     loader = DataLoader(
         ds, batch, shuffle=True, seed=seed, num_shards=1, shard_index=0
     )
@@ -255,38 +359,15 @@ def run_ap_parity(
     mid_t = os.path.join(work_dir, "train_ckpt.pt")
     mid_j = os.path.join(work_dir, "train_ckpt.pkl")
 
-    def _save_mid(step_i, epoch, state, loss_j, loss_t):
-        torch.save(
-            {"model": twin.state_dict(), "opt": topt.state_dict()}, mid_t + ".tmp"
-        )
-        os.replace(mid_t + ".tmp", mid_t)
-        with open(mid_j + ".tmp", "wb") as f:
-            pickle.dump(
-                {
-                    "state": jax.device_get(state),
-                    "step_i": step_i,
-                    "epoch": epoch,
-                    "loss_j": loss_j,
-                    "loss_t": loss_t,
-                },
-                f,
-            )
-        os.replace(mid_j + ".tmp", mid_j)
-
     if can_resume:
         progress(f"resuming: trained weights + {len(loss_j)}-step curves found")
         twin.load_state_dict(torch.load(ckpt_t, weights_only=True))
-        with open(ckpt_j, "rb") as f:
-            eval_vars = pickle.load(f)
+        eval_vars = _load_pickle(ckpt_j)
     else:
         loss_j, loss_t = [], []
         step_i = 0
-        # each epoch of the deterministic loader yields the same batch count,
-        # so the loader position is fully determined by step_i
-        steps_per_epoch = max(1, len(loader))
         if resume and os.path.exists(mid_t) and os.path.exists(mid_j):
-            with open(mid_j, "rb") as f:
-                mid = pickle.load(f)
+            mid = _load_pickle(mid_j)
             state = jax.tree_util.tree_map(jnp.asarray, mid["state"])
             loss_j, loss_t = mid["loss_j"], mid["loss_t"]
             step_i = mid["step_i"]
@@ -294,51 +375,49 @@ def run_ap_parity(
             twin.load_state_dict(saved["model"])
             topt.load_state_dict(saved["opt"])
             progress(f"mid-train resume at step {step_i}")
-        while step_i < steps:
-            epoch = step_i // steps_per_epoch
-            loader.set_epoch(epoch)
-            skip_in_epoch = step_i % steps_per_epoch
-            for bi, b in enumerate(loader):
-                if bi < skip_in_epoch:
-                    continue
-                if step_i >= steps:
-                    break
-                imgs = b["image"].astype(np.float32)  # already normalised (host)
-                labels = {k: jnp.asarray(v) for k, v in b["labels"].items()}
-                jb = {"image": jnp.asarray(imgs), "labels": labels}
-                # dispatch the target build, then the jax step, both
-                # asynchronously, and run the torch twin on the host CPU
-                # while the TPU works — synchronising on metrics["loss"] up
-                # front serialised the two legs (~doubling wall time on this
-                # 1-core host). Target build goes FIRST: the device runs
-                # programs in dispatch order, so the targets (the twin's
-                # input) are downloadable while the train step executes; the
-                # jax loss is read only after the torch leg.
-                targets = build_tgts(labels)
-                state, metrics = train_step(state, jb)
-                t_t = {k: torch.as_tensor(np.asarray(v).copy()) for k, v in targets.items()}
-                xt = torch.as_tensor(imgs.transpose(0, 3, 1, 2))
-                topt.zero_grad()
-                tl = _torch_loss(twin(xt), t_t)
-                tl.backward()
-                topt.step()
-                jl = float(metrics["loss"])
-                loss_j.append(jl)
-                loss_t.append(float(tl.detach()))
-                if step_i % 20 == 0:
-                    progress(
-                        f"step {step_i}: jax {jl:.4f} torch {loss_t[-1]:.4f} "
-                        f"drift {abs(jl - loss_t[-1]) / max(abs(loss_t[-1]), 1e-9):.2e}"
-                    )
-                step_i += 1
-                if step_i % save_every == 0 and step_i < steps:
-                    _save_mid(step_i, epoch, state, loss_j, loss_t)
+        for step_i, b in _step_stream(loader, steps, step_i):
+            imgs = b["image"].astype(np.float32)  # already normalised (host)
+            labels = {k: jnp.asarray(v) for k, v in b["labels"].items()}
+            jb = {"image": jnp.asarray(imgs), "labels": labels}
+            # dispatch the target build, then the jax step, both
+            # asynchronously, and run the torch twin on the host CPU
+            # while the TPU works — synchronising on metrics["loss"] up
+            # front serialised the two legs (~doubling wall time on this
+            # 1-core host). Target build goes FIRST: the device runs
+            # programs in dispatch order, so the targets (the twin's
+            # input) are downloadable while the train step executes; the
+            # jax loss is read only after the torch leg.
+            targets = build_tgts(labels)
+            state, metrics = train_step(state, jb)
+            t_t = {k: torch.as_tensor(np.asarray(v).copy()) for k, v in targets.items()}
+            xt = torch.as_tensor(imgs.transpose(0, 3, 1, 2))
+            topt.zero_grad()
+            tl = _torch_loss(twin(xt), t_t)
+            tl.backward()
+            topt.step()
+            jl = float(metrics["loss"])
+            loss_j.append(jl)
+            loss_t.append(float(tl.detach()))
+            if step_i % 20 == 0:
+                progress(
+                    f"step {step_i}: jax {jl:.4f} torch {loss_t[-1]:.4f} "
+                    f"drift {abs(jl - loss_t[-1]) / max(abs(loss_t[-1]), 1e-9):.2e}"
+                )
+            if (step_i + 1) % save_every == 0 and (step_i + 1) < steps:
+                torch.save(
+                    {"model": twin.state_dict(), "opt": topt.state_dict()},
+                    mid_t + ".tmp",
+                )
+                os.replace(mid_t + ".tmp", mid_t)
+                _atomic_pickle(mid_j, {
+                    "state": jax.device_get(state), "step_i": step_i + 1,
+                    "loss_j": loss_j, "loss_t": loss_t,
+                })
         eval_vars = jax.device_get(
             {"params": state.params, "batch_stats": state.batch_stats}
         )
         torch.save(twin.state_dict(), ckpt_t)
-        with open(ckpt_j, "wb") as f:
-            pickle.dump(eval_vars, f)
+        _atomic_pickle(ckpt_j, eval_vars)
         with open(losses_path, "w") as f:
             json.dump({"jax": loss_j, "torch": loss_t}, f)
 
@@ -350,50 +429,34 @@ def run_ap_parity(
     # --- evaluate both stacks with their OWN pipelines ---
     test_ds = create_dataset(data, cfg, is_training=False, split="test")
     test_ds.img_size = list(ds.img_size)
-    res_j = os.path.join(work_dir, "results_jax")
-    res_t = os.path.join(work_dir, "results_torch")
-    _detect_jax(cfg, model, eval_vars, test_ds, batch, res_j)
     twin.eval()
-    _detect_torch(cfg, twin, test_ds, batch, res_t)
 
-    # --- same-weights leg: the trained TORCH weights through the JAX
-    # serving pipeline. res_sw vs res_t compares the two inference stacks
-    # (batched jitted decode + LM solver vs per-image decode + scipy
-    # L-BFGS-B) on IDENTICAL weights — the training-trajectory divergence
-    # that dominates the jax-vs-torch columns cancels exactly, so
-    # delta_samew is the tight end-to-end inference-path AP bound at
-    # trained-weight scale.
+    # same-weights leg: the trained TORCH weights through the JAX serving
+    # pipeline. res_sw vs res_t compares the two inference stacks (batched
+    # jitted decode + LM solver vs per-image decode + scipy L-BFGS-B) on
+    # IDENTICAL weights — the training-trajectory divergence that dominates
+    # the jax-vs-torch columns cancels exactly, so delta_samew is the tight
+    # end-to-end inference-path AP bound at trained-weight scale.
     sw_sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
     sw_vars, sw_report = import_torch_weights(
         jax.tree_util.tree_map(jnp.asarray, eval_vars), sw_sd
     )
     assert not sw_report["missed"], sw_report["missed"][:8]
-    res_sw = os.path.join(work_dir, "results_samew")
-    _detect_jax(cfg, model, sw_vars, test_ds, batch, res_sw)
 
-    # --- int8 AP gate: the SAME trained jax weights through the quantized
-    # serving path (nn/quant.py), scored with the same evaluator — the
-    # accuracy bar behind the int8 throughput headline ---
-    res_q = os.path.join(work_dir, "results_int8")
-    _detect_jax(
-        cfg, model, eval_vars, test_ds, batch, res_q,
-        apply_fn=_int8_apply(cfg, model, eval_vars, ds, batch),
+    res = _serve_legs(
+        cfg, model, eval_vars, twin, test_ds, batch, work_dir, ds,
+        samew_vars=sw_vars,
     )
-
     ap = _score_both(
-        data, res_j, res_t, res_q, res_sw=res_sw,
+        data, res["jax"], res["torch"], res["int8"], res_sw=res["samew"],
         min_overlap=min_overlap, min_height=min_height,
     )
     out = {
-        "config": {
-            "backbone": "RESNET-18", "input": [w, h], "steps": steps,
-            "batch": batch, "lr": lr, "num_train": num_train,
-            "num_test": num_test,
-            "score_thresh": float(cfg.DETECTOR.SCORE_THRESH),
-            "residual_thresh": float(cfg.DETECTOR.RESIDUAL_THRESH),
-            "min_overlap": min_overlap,
-            "min_height": min_height,
-        },
+        "config": _cfg_block(
+            cfg, backbone, min_overlap, min_height,
+            steps=steps, batch=batch, lr=lr,
+            num_train=num_train, num_test=num_test,
+        ),
         "loss_jax_first_last": [loss_j[0], loss_j[-1]],
         "loss_torch_first_last": [loss_t[0], loss_t[-1]],
         "loss_drift_curve": drift,
@@ -401,15 +464,14 @@ def run_ap_parity(
         "final_drift": abs(loss_j[-1] - loss_t[-1]) / max(abs(loss_t[-1]), 1e-9),
         "ap": ap,
     }
-    if bootstrap:
-        progress(f"bootstrap: {bootstrap} resamples over {num_test} test images")
-        out["bootstrap"] = bootstrap_cis(
-            data,
-            {"jax": res_j, "torch": res_t, "int8": res_q, "samew": res_sw},
-            n_resamples=bootstrap, min_overlap=min_overlap,
-            min_height=min_height,
-        )
+    _maybe_bootstrap(out, data, res, bootstrap, min_overlap, min_height,
+                     "test", progress)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Production mode: jax-only training, same weights through both pipelines
+# ---------------------------------------------------------------------------
 
 
 def run_production_parity(
@@ -430,6 +492,8 @@ def run_production_parity(
     train_augment: bool = True,
     eval_split: str = "test",
     lr_drops: tuple | None = None,
+    backbone: str = "RESNET-18",
+    bf16: bool = False,
 ) -> dict:
     """Same-weights AP parity AT PRODUCTION GATES on a checkpoint that
     actually detects.
@@ -457,34 +521,24 @@ def run_production_parity(
     end-to-end inference-path AP difference at a detecting checkpoint — the
     direct in-environment analogue of BASELINE.md's "AP3D within 0.1 of the
     reference checkpoint". An int8 leg (same weights, quantized path) rides
-    along as the serving-accuracy gate."""
-    import pickle
+    along as the serving-accuracy gate.
 
+    ``backbone='DLA-34'`` + ``bf16=True`` runs the deployed flagship recipe
+    (s2d stem reparameterisation on, bf16 compute with fp32 masters); the
+    exported twin always serves fp32 canonical weights."""
     import jax
     import jax.numpy as jnp
     import torch
 
     from rtm3d_tpu.data.kitti import create_dataset
-    from rtm3d_tpu.data.loader import DataLoader
-    from rtm3d_tpu.data.synthetic import generate_kitti
-    from rtm3d_tpu.nn.model import create_model
+    from rtm3d_tpu.data.loader import DataLoader, prefetch_to_device
     from rtm3d_tpu.train.checkpoint import export_torch_weights
-    from rtm3d_tpu.train.optim import build_optimizer
-    from rtm3d_tpu.train.state import TrainState
-    from rtm3d_tpu.train.step import make_train_step
 
-    os.makedirs(work_dir, exist_ok=True)
-    img_hw = (3 * input_size // 4, input_size)
-    data = generate_kitti(
-        os.path.join(work_dir, "kitti"),
-        num_train=num_train,
-        num_test=num_test,
-        img_hw=img_hw,
-        max_objs=4,
-        seed=seed,
-    )
-    cfg = make_config(data, input_size, batch, lr)
+    data = _fixture(work_dir, input_size, num_train, num_test, seed)
+    cfg = make_config(data, input_size, batch, lr, backbone)
     cfg.DATASET.CACHE_IMAGES = True  # jax-only training: decode PNGs once
+    if bf16:
+        cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     if lr_drops:
         # 10x LR drops: Adamax's sign-like step floors the vertex-regression
         # error at O(lr) — the residual<0.1 gate needs the late-phase
@@ -492,7 +546,6 @@ def run_production_parity(
         # reference's own schedule shape)
         cfg.SOLVER.STEPS = tuple(int(s) for s in lr_drops)
 
-    model = create_model(cfg)
     # train_augment=False trains on the clean test-transform stream: the
     # residual<0.1 production gate needs near-exact vertex regression, which
     # an augmented 64-image set never reaches (measured: at 3000 augmented
@@ -503,18 +556,12 @@ def run_production_parity(
 
     aug = "auto" if train_augment else test_transform(int(cfg.INPUT_SIZE[0]))
     ds = create_dataset(data, cfg, is_training=True, split="train", augment=aug)
-    cfg.INPUT_SIZE = tuple(ds.img_size)
+    model, variables, tx, state, train_step = _init_jax_stack(cfg, ds, init_seed=seed)
     w, h = cfg.INPUT_SIZE
-    # jit the init: flax's op-by-op eager init dispatches hundreds of tiny
-    # ops through the (tunneled) runtime — minutes of startup at this scale
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3))
+    progress(
+        f"production-parity [{backbone}{' bf16' if bf16 else ''}]: "
+        f"input {w}x{h}, {steps} steps, batch {batch}"
     )
-    progress(f"production-parity: input {w}x{h}, {steps} steps, batch {batch}")
-
-    tx, _ = build_optimizer(cfg, variables["params"])
-    state = TrainState.create(variables, tx)
-    train_step = make_train_step(model, cfg, tx)
     loader = DataLoader(
         ds, batch, shuffle=True, seed=seed, num_shards=1, shard_index=0
     )
@@ -528,42 +575,22 @@ def run_production_parity(
             loss_j = json.load(f)["jax"]
         if len(loss_j) >= steps:
             progress(f"resuming: trained weights + {len(loss_j)}-step curve found")
-            with open(ckpt_j, "rb") as f:
-                eval_vars = pickle.load(f)
+            eval_vars = _load_pickle(ckpt_j)
     if eval_vars is None:
         step_i = 0
-        steps_per_epoch = max(1, len(loader))
         if resume and os.path.exists(mid_j):
-            with open(mid_j, "rb") as f:
-                mid = pickle.load(f)
+            mid = _load_pickle(mid_j)
             state = jax.tree_util.tree_map(jnp.asarray, mid["state"])
             loss_j = mid["loss_j"]
             step_i = mid["step_i"]
             progress(f"mid-train resume at step {step_i}")
-        from rtm3d_tpu.data.loader import prefetch_to_device
 
-        def _to_dev(b):
+        def _to_dev(item):
+            _, b = item
             return {
                 "image": jnp.asarray(b["image"].astype(np.float32)),
                 "labels": {k: jnp.asarray(v) for k, v in b["labels"].items()},
             }
-
-        def _epoch_batches(start_step):
-            """Device-resident batch stream from ``start_step`` onward; the
-            deterministic loader makes the position a pure function of the
-            step index, so resume replays the identical stream."""
-            si = start_step
-            while si < steps:
-                epoch = si // steps_per_epoch
-                loader.set_epoch(epoch)
-                skip = si % steps_per_epoch
-                for bi, b in enumerate(loader):
-                    if si >= steps:
-                        break
-                    if bi < skip:
-                        continue
-                    yield b
-                    si += 1
 
         # loss scalars stay device-side between syncs: a per-step float()
         # costs a tunnel round-trip AND serializes host against device;
@@ -574,7 +601,7 @@ def run_production_parity(
             loss_j.extend(float(x) for x in jax.device_get(loss_dev))
             loss_dev.clear()
 
-        for b in prefetch_to_device(_epoch_batches(step_i), _to_dev):
+        for b in prefetch_to_device(_step_stream(loader, steps, step_i), _to_dev):
             state, metrics = train_step(state, b)
             loss_dev.append(metrics["loss"])
             step_i += 1
@@ -583,81 +610,79 @@ def run_production_parity(
                 progress(f"step {step_i}: jax {loss_j[-1]:.4f}")
             if step_i % save_every == 0 and step_i < steps:
                 _drain()
-                with open(mid_j + ".tmp", "wb") as f:
-                    pickle.dump(
-                        {
-                            "state": jax.device_get(state),
-                            "step_i": step_i,
-                            "loss_j": loss_j,
-                        },
-                        f,
-                    )
-                os.replace(mid_j + ".tmp", mid_j)
+                _atomic_pickle(mid_j, {
+                    "state": jax.device_get(state),
+                    "step_i": step_i,
+                    "loss_j": loss_j,
+                })
         _drain()
         eval_vars = jax.device_get(
             {"params": state.params, "batch_stats": state.batch_stats}
         )
-        with open(ckpt_j, "wb") as f:
-            pickle.dump(eval_vars, f)
+        _atomic_pickle(ckpt_j, eval_vars)
         with open(losses_path, "w") as f:
             json.dump({"jax": loss_j}, f)
 
     # --- the SAME weights through both inference stacks ---
     test_ds = create_dataset(data, cfg, is_training=False, split=eval_split)
     test_ds.img_size = list(ds.img_size)
-    res_j = os.path.join(work_dir, "results_jax")
-    res_t = os.path.join(work_dir, "results_torch")
-    res_q = os.path.join(work_dir, "results_int8")
-    _detect_jax(cfg, model, eval_vars, test_ds, batch, res_j)
-
-    twin = build_torch_twin()
+    twin = build_torch_twin(backbone=backbone)
     sd, rep = export_torch_weights(eval_vars, twin.state_dict())
     bad = [m for m in rep["missed"] if "num_batches_tracked" not in m]
     assert not bad, bad[:8]
     twin.load_state_dict({k: torch.as_tensor(v) for k, v in sd.items()})
     twin.eval()
     progress(f"exported {len(rep['exported'])} tensors to the torch twin")
-    _detect_torch(cfg, twin, test_ds, batch, res_t)
 
-    _detect_jax(
-        cfg, model, eval_vars, test_ds, batch, res_q,
-        apply_fn=_int8_apply(cfg, model, eval_vars, ds, batch),
-    )
-
-    counts = {
-        leg: _count_accepted(d)
-        for leg, d in (("jax", res_j), ("torch", res_t), ("int8", res_q))
-    }
+    res = _serve_legs(cfg, model, eval_vars, twin, test_ds, batch, work_dir, ds)
+    counts = {leg: _count_accepted(res[leg]) for leg in ("jax", "torch", "int8")}
     progress(f"accepted detections at production gates: {counts}")
     out = {
-        "config": {
-            "mode": "production_same_weights",
-            "backbone": "RESNET-18", "input": [w, h], "steps": steps,
-            "batch": batch, "lr": lr, "num_train": num_train,
-            "num_test": num_test,
-            "score_thresh": float(cfg.DETECTOR.SCORE_THRESH),
-            "residual_thresh": float(cfg.DETECTOR.RESIDUAL_THRESH),
-            "min_overlap": min_overlap, "min_height": min_height,
-            "train_augment": train_augment, "eval_split": eval_split,
-        },
+        "config": _cfg_block(
+            cfg, backbone, min_overlap, min_height,
+            mode="production_same_weights", steps=steps, batch=batch, lr=lr,
+            num_train=num_train, num_test=num_test,
+            train_augment=train_augment, eval_split=eval_split, bf16=bf16,
+        ),
         "loss_first_last": [loss_j[0], loss_j[-1]] if loss_j else None,
         "accepted_counts": counts,
         # column semantics here: 'jax' and 'torch' hold IDENTICAL weights, so
         # 'delta' is the pure inference-path AP difference
         "ap": _score_both(
-            data, res_j, res_t, res_q,
+            data, res["jax"], res["torch"], res["int8"],
             min_overlap=min_overlap, min_height=min_height, split=eval_split,
         ),
     }
-    if bootstrap:
-        progress(f"bootstrap: {bootstrap} resamples over {len(test_ds)} images")
-        out["bootstrap"] = bootstrap_cis(
-            data,
-            {"jax": res_j, "torch": res_t, "int8": res_q},
-            n_resamples=bootstrap,
-            min_overlap=min_overlap, min_height=min_height, split=eval_split,
-        )
+    _maybe_bootstrap(out, data, res, bootstrap, min_overlap, min_height,
+                     eval_split, progress)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Serving legs + scoring (shared by both modes and the sibling tools)
+# ---------------------------------------------------------------------------
+
+
+def _serve_legs(cfg, model, eval_vars, twin, test_ds, batch, work_dir,
+                calib_ds, samew_vars=None) -> Dict[str, str]:
+    """Run the inference legs into ``work_dir/results_*``: jax pipeline on
+    ``eval_vars``, torch reference pipeline on ``twin``, int8 pipeline on
+    ``eval_vars`` (calibrated on ``calib_ds``), and — when ``samew_vars`` is
+    given — the jax pipeline on those variables (the side-by-side harness's
+    torch-weights-through-jax leg)."""
+    res = {leg: os.path.join(work_dir, f"results_{leg}")
+           for leg in ("jax", "torch", "int8", "samew")}
+    _detect_jax(cfg, model, eval_vars, test_ds, batch, res["jax"])
+    _detect_torch(cfg, twin, test_ds, batch, res["torch"])
+    _detect_jax(
+        cfg, model, eval_vars, test_ds, batch, res["int8"],
+        apply_fn=_int8_apply(cfg, model, eval_vars, calib_ds, batch),
+    )
+    if samew_vars is not None:
+        _detect_jax(cfg, model, samew_vars, test_ds, batch, res["samew"])
+    else:
+        res.pop("samew")
+    return res
 
 
 def _count_accepted(results_dir: str) -> int:
@@ -900,6 +925,17 @@ def main(argv=None):
     p.add_argument("--num-train", type=int, default=64)
     p.add_argument("--num-test", type=int, default=16)
     p.add_argument("--input-size", type=int, default=256)
+    p.add_argument(
+        "--backbone", type=str, default="RESNET-18", choices=BACKBONES,
+        help="jax model + torch twin backbone; DLA-34 is the reference's "
+        "flagship recipe (rtm3d_dla34_kitti.yaml)",
+    )
+    p.add_argument(
+        "--bf16", action="store_true",
+        help="(--production) train + serve the jax leg in bfloat16 compute "
+        "with fp32 masters — the deployed flagship recipe; the torch twin "
+        "always serves the exported fp32 canonical weights",
+    )
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--score-thresh", type=float, default=None)
     p.add_argument("--residual-thresh", type=float, default=None)
@@ -969,26 +1005,25 @@ def main(argv=None):
             eval_split=args.eval_split,
             lr_drops=tuple(int(s) for s in args.lr_drops.split(","))
             if args.lr_drops else None,
+            backbone=args.backbone,
+            bf16=args.bf16,
         )
-        print(json.dumps(out, indent=2))
-        if args.out:
-            with open(args.out, "w") as f:
-                json.dump(out, f, indent=2)
-        return out
-    out = run_ap_parity(
-        args.work_dir,
-        input_size=args.input_size,
-        num_train=args.num_train,
-        num_test=args.num_test,
-        steps=args.steps,
-        batch=args.batch,
-        score_thresh=args.score_thresh,
-        residual_thresh=args.residual_thresh,
-        min_overlap=args.min_overlap,
-        min_height=args.min_height,
-        bootstrap=args.bootstrap,
-        rescore_only=args.rescore_only,
-    )
+    else:
+        out = run_ap_parity(
+            args.work_dir,
+            input_size=args.input_size,
+            num_train=args.num_train,
+            num_test=args.num_test,
+            steps=args.steps,
+            batch=args.batch,
+            score_thresh=args.score_thresh,
+            residual_thresh=args.residual_thresh,
+            min_overlap=args.min_overlap,
+            min_height=args.min_height,
+            bootstrap=args.bootstrap,
+            rescore_only=args.rescore_only,
+            backbone=args.backbone,
+        )
     print(json.dumps(out, indent=2))
     if args.out:
         with open(args.out, "w") as f:
