@@ -127,3 +127,29 @@ def test_rescore_only_rescores_written_dirs(tmp_path):
     assert set(out) == {"config", "ap", "bootstrap"}
     for row in out["ap"].values():
         assert row["jax"] == 0.0 and row["delta"] == 0.0
+
+
+def test_production_parity_small_dla34(tmp_path):
+    """The flagship recipe leg: jax DLA-34 (s2d stem reparameterisation on —
+    the deployed trainer default) trains, exports through the suffix-matching
+    jax->torch path into the recursive TDLA twin, and both inference
+    pipelines serve the same weights. Pins the DLA-34 wiring end to end so
+    the full-scale campaign (PARITY.md) rests on a tested contract."""
+    from tools.ap_parity import run_production_parity
+
+    out = run_production_parity(
+        str(tmp_path),
+        input_size=128,
+        num_train=8,
+        num_test=4,
+        steps=30,
+        batch=4,
+        save_every=20,
+        progress=lambda *a: None,
+        backbone="DLA-34",
+    )
+    assert out["config"]["backbone"] == "DLA-34"
+    l0, l1 = out["loss_first_last"]
+    assert l1 < l0
+    for key, row in out["ap"].items():
+        assert abs(row["delta"]) <= 5.0, (key, row)
