@@ -126,6 +126,12 @@ def main(argv=None):
     mesh = create_mesh_for_batch(cfg, cfg.BATCH_SIZE)
     if is_master():
         print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} over {mesh.devices.size} device(s)")
+    # multi-process: establish the collective context + startup barrier
+    # before the long train-step compile (Gloo's rendezvous times out at
+    # 30 s; first-compile skew between processes can exceed it)
+    from rtm3d_tpu.parallel.mesh import warmup_collectives
+
+    warmup_collectives(mesh)
     # each process loads only its local_batch_size slice; shard_batch
     # assembles the global batch (make_array_from_process_local_data), so
     # the global batch scales with process count and every loaded row is used
@@ -171,7 +177,9 @@ def main(argv=None):
     )
 
     save_dir = os.path.join(cfg.TRAINING.WEIGHTS, cfg.MODEL.BACKBONE)
-    checkpointer = CheckPointer(save_dir)
+    checkpointer = CheckPointer(
+        save_dir, use_orbax=bool(cfg.TRAINING.get("USE_ORBAX", False))
+    )
     start_epoch, min_loss = 0, float("inf")
     if mode == "resume" and checkpointer.has_checkpoint():
         state, meta = checkpointer.load(state, use_latest=True)
@@ -238,18 +246,26 @@ def main(argv=None):
                     + f" ({time.time() - t_ep:.1f}s)"
                 )
 
-        if is_master():
-            # per-epoch checkpoint + best tracking by test loss (train.py:158-162);
-            # a non-finite test loss is explicitly excluded from the best-model
-            # comparison (NaN would compare False anyway, but be deliberate)
-            test_total = float(test_items[-1])
+        # per-epoch checkpoint + best tracking by test loss (train.py:158-162);
+        # a non-finite test loss is explicitly excluded from the best-model
+        # comparison (NaN would compare False anyway, but be deliberate).
+        # msgpack saves are master-only (replicated state; reference
+        # train_multi_gpu.py:226-230); orbax saves are COLLECTIVE — every
+        # process writes its shards, pointer tagging stays master-only
+        # inside the checkpointer. test_items derives from the global
+        # (psum-reduced) loss, so the best-model decision and min_loss agree
+        # across processes.
+        test_total = float(test_items[-1])
+        do_save = is_master() or checkpointer.collective
+        if do_save:
             checkpointer.save(
-                f"model_{epoch:07d}", jax.device_get(state), epoch=epoch, min_loss=min_loss
+                f"model_{epoch:07d}", state, epoch=epoch, min_loss=min_loss
             )
-            if math.isfinite(test_total) and test_total < min_loss:
-                min_loss = test_total
+        if math.isfinite(test_total) and test_total < min_loss:
+            min_loss = test_total
+            if do_save:
                 checkpointer.save(
-                    "model_best", jax.device_get(state), epoch=epoch, min_loss=min_loss
+                    "model_best", state, epoch=epoch, min_loss=min_loss
                 )
     if tb_writer is not None:
         tb_writer.close()

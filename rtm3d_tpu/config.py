@@ -108,6 +108,11 @@ def default_config() -> Config:
         W_V_OFF=0.5,
         EMA=False,          # ModelEMA parity (module.py:71-119; dead in reference)
         EMA_DECAY=0.9999,
+        # orbax directory-per-step checkpoints: multi-host/sharded-state
+        # aware (every process writes its shards collectively); the default
+        # msgpack format keeps the reference's one-file-per-save layout
+        # (check_point.py:130-134) and requires replicated state
+        USE_ORBAX=False,
     )
 
     c.DATASET = Config(

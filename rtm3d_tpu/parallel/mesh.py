@@ -127,6 +127,50 @@ def replicate_state(mesh: Mesh, state):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
 
 
+def warmup_collectives(mesh: Mesh):
+    """Run one tiny all-reduce over the full mesh and block on it.
+
+    Multi-process only. Two jobs: (a) establish the cross-process collective
+    context (Gloo on CPU; its rendezvous key-exchange times out at a fixed
+    30 s) BEFORE the multi-minute train-step compile, whose duration can
+    skew between processes by more than that under host load; (b) act as a
+    startup barrier so subsequent per-process work begins aligned. No-op
+    single-process."""
+    if jax.process_count() <= 1:
+        return
+    # one row per device, sharded over every mesh axis; each process feeds
+    # its local rows (_put -> make_array_from_process_local_data)
+    local = np.ones((jax.local_device_count(),), np.float32)
+    ones = _put(local, NamedSharding(mesh, P(tuple(mesh.axis_names))))
+
+    @jax.jit
+    def _sum(x):
+        return x.sum()
+
+    jax.block_until_ready(_sum(ones))
+    # also establish the multihost_utils Gloo contexts (allgather/broadcast
+    # shapes orbax's save-entry consistency checks use, and the
+    # sync_global_devices barrier) while the processes are still aligned —
+    # their first-use rendezvous carries the same fixed 30 s deadline
+    from jax.experimental import multihost_utils
+
+    multihost_utils.process_allgather(np.array(0, np.int32))
+    multihost_utils.broadcast_one_to_all(np.zeros((32,), np.uint8))
+    multihost_utils.sync_global_devices("rtm3d_warmup")
+
+
+def sync_processes(name: str):
+    """Cross-process barrier (no-op single-process): aligns every process at
+    ``name`` so a following multi-step collective protocol (e.g. an orbax
+    collective save) never begins with >30 s of skew — Gloo context
+    rendezvous inside it would hit its fixed deadline."""
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def is_master() -> bool:
     """Reference is_master_node (train_multi_gpu.py:71-72)."""
     return jax.process_index() == 0

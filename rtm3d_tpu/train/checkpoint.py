@@ -52,6 +52,14 @@ class CheckPointer:
         self.max_to_keep = max_to_keep
         os.makedirs(save_dir, exist_ok=True)
 
+    @property
+    def collective(self) -> bool:
+        """True when ``save`` must be called by EVERY process: orbax saves
+        are a collective operation (each process writes its addressable
+        shards and the barrier spans all of them), unlike the master-only
+        msgpack save of replicated state."""
+        return self.use_orbax and jax.process_count() > 1
+
     # -- pointer file (check_point.py:156-175) --
     def _tag_file(self) -> str:
         return os.path.join(self.save_dir, "last_checkpoint")
@@ -89,8 +97,19 @@ class CheckPointer:
 
     def _save_orbax(self, name, state, epoch, min_loss):
         """Orbax directory checkpoint — multi-host / sharded-state aware
-        (each process writes its shards; msgpack requires replicated state)."""
+        (each process writes its addressable shards; msgpack requires
+        replicated state). Collective: under jax.process_count() > 1 every
+        process must make this call. Pointer tagging + retention stay
+        master-only (the reference's master-only checkpointing contract,
+        train_multi_gpu.py:226-230)."""
         path = os.path.abspath(os.path.join(self.save_dir, name))
+        if jax.process_count() > 1:
+            # align all processes BEFORE the collective save: its internal
+            # consistency collectives run early, and a late-arriving process
+            # would trip the fixed 30 s Gloo rendezvous deadline
+            from rtm3d_tpu.parallel.mesh import sync_processes
+
+            sync_processes(f"orbax_save:{name}")
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(
             path,
@@ -98,8 +117,9 @@ class CheckPointer:
             force=True,
         )
         ckptr.wait_until_finished()
-        self.tag_last_checkpoint(path)
-        self._enforce_retention(keep=os.path.basename(path))
+        if jax.process_index() == 0:
+            self.tag_last_checkpoint(path)
+            self._enforce_retention(keep=os.path.basename(path))
         return path
 
     def _load_orbax(self, state_template, path):

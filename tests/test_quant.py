@@ -31,15 +31,10 @@ def test_quantized_conv_close_to_float(rng):
     assert err < 0.03 * scale, (err, scale)
 
 
-def test_quantized_model_logits_and_jit(rng):
-    from rtm3d_tpu.config import default_config
-    from rtm3d_tpu.nn.model import init_model
-
-    cfg = default_config()
-    cfg.MODEL.BACKBONE = "RESNET-18"
-    cfg.MODEL.KFNs = ["layer1", "layer2", "layer3", "layer4"]
-    cfg.INPUT_SIZE = (64, 64)
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+def test_quantized_model_logits_and_jit(rng, base_prog):
+    # reuses the session-scoped compiled base program's model+variables
+    # (same ResNet-18 @64x64 config) — init_model alone costs seconds
+    model, variables = base_prog["model"], base_prog["variables"]
     x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
 
     scales = calibrate_act_scales(model, variables, [x])
