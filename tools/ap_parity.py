@@ -537,6 +537,13 @@ def run_production_parity(
     data = _fixture(work_dir, input_size, num_train, num_test, seed)
     cfg = make_config(data, input_size, batch, lr, backbone)
     cfg.DATASET.CACHE_IMAGES = True  # jax-only training: decode PNGs once
+    # jax-only training leg: ship raw uint8 and normalise inside the jitted
+    # step (the framework default) — 4x less H2D tunnel traffic, and the
+    # axon tunnel client LEAKS every host transfer buffer (~19 MB/step at
+    # float32 512x384 b8, measured: the r3 10k-step campaign survived only
+    # via crash-resume through OOM kills). The serving legs below flip back
+    # to host floats so they stay byte-identical to the r3 legs.
+    cfg.TPU.NORMALIZE_ON_DEVICE = True
     if bf16:
         cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     if lr_drops:
@@ -587,10 +594,21 @@ def run_production_parity(
 
         def _to_dev(item):
             _, b = item
+            # dtype passes through: uint8 under NORMALIZE_ON_DEVICE (the
+            # jitted step normalises), float32 under the host-float path
             return {
-                "image": jnp.asarray(b["image"].astype(np.float32)),
+                "image": jnp.asarray(b["image"]),
                 "labels": {k: jnp.asarray(v) for k, v in b["labels"].items()},
             }
+
+        # the tunnel client's per-transfer leak (see NORMALIZE_ON_DEVICE
+        # note above) still accrues ~5 MB/step at uint8; long campaigns
+        # exceed host RAM in one process. Guard: persist the mid checkpoint
+        # and exit with a dedicated code the outer driver restarts on —
+        # resume replays the deterministic stream exactly.
+        import resource
+
+        rss_limit_gb = float(os.environ.get("RTM3D_CAMPAIGN_RSS_LIMIT_GB", 60))
 
         # loss scalars stay device-side between syncs: a per-step float()
         # costs a tunnel round-trip AND serializes host against device;
@@ -615,6 +633,14 @@ def run_production_parity(
                     "step_i": step_i,
                     "loss_j": loss_j,
                 })
+                rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+                if rss_gb > rss_limit_gb:
+                    progress(
+                        f"RSS {rss_gb:.1f} GB > {rss_limit_gb} GB at step "
+                        f"{step_i}: mid checkpoint saved, exiting 17 for a "
+                        "clean restart (tunnel-client transfer leak)"
+                    )
+                    raise SystemExit(17)
         _drain()
         eval_vars = jax.device_get(
             {"params": state.params, "batch_stats": state.batch_stats}
@@ -624,6 +650,10 @@ def run_production_parity(
             json.dump({"jax": loss_j}, f)
 
     # --- the SAME weights through both inference stacks ---
+    # serving legs eat host-normalised floats (as in every recorded
+    # campaign): the torch leg has no device normaliser, and identical
+    # pixels on both sides is the point of the same-weights diff
+    cfg.TPU.NORMALIZE_ON_DEVICE = False
     test_ds = create_dataset(data, cfg, is_training=False, split=eval_split)
     test_ds.img_size = list(ds.img_size)
     twin = build_torch_twin(backbone=backbone)
@@ -634,7 +664,11 @@ def run_production_parity(
     twin.eval()
     progress(f"exported {len(rep['exported'])} tensors to the torch twin")
 
-    res = _serve_legs(cfg, model, eval_vars, twin, test_ds, batch, work_dir, ds)
+    # int8 calibration sweeps train-split batches under the SERVING pixel
+    # path (host floats) — the training ds above now emits raw uint8
+    calib_ds = create_dataset(data, cfg, is_training=True, split="train", augment=aug)
+    calib_ds.img_size = list(ds.img_size)
+    res = _serve_legs(cfg, model, eval_vars, twin, test_ds, batch, work_dir, calib_ds)
     counts = {leg: _count_accepted(res[leg]) for leg in ("jax", "torch", "int8")}
     progress(f"accepted detections at production gates: {counts}")
     out = {
