@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--input-size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--eval-split", default="train")
+    ap.add_argument("--backbone", default="RESNET-18")
+    ap.add_argument("--bf16", action="store_true",
+                    help="serve the jax leg in bf16 compute (match a --bf16 campaign)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -49,7 +52,9 @@ def main():
     from tests.test_detect_parity import _scipy_reference_solve
 
     data = os.path.join(args.work_dir, "kitti")
-    cfg = make_config(data, args.input_size, args.batch, 1e-3)
+    cfg = make_config(data, args.input_size, args.batch, 1e-3, backbone=args.backbone)
+    if args.bf16:
+        cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     model = create_model(cfg)
     with open(os.path.join(args.work_dir, "jax_final.pkl"), "rb") as f:
         eval_vars = pickle.load(f)
@@ -75,7 +80,7 @@ def main():
             name = os.path.splitext(os.path.basename(b["path"][bi]))[0]
             jax_by_img[name] = {k: np.asarray(v)[bi] for k, v in det.items()}
 
-    twin = build_torch_twin()
+    twin = build_torch_twin(backbone=args.backbone)
     sd, rep = export_torch_weights(eval_vars, twin.state_dict())
     twin.load_state_dict({k: torch.as_tensor(v) for k, v in sd.items()})
     twin.eval()
