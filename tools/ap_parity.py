@@ -494,6 +494,7 @@ def run_production_parity(
     lr_drops: tuple | None = None,
     backbone: str = "RESNET-18",
     bf16: bool = False,
+    device_warp: bool = False,
 ) -> dict:
     """Same-weights AP parity AT PRODUCTION GATES on a checkpoint that
     actually detects.
@@ -544,6 +545,16 @@ def run_production_parity(
     # via crash-resume through OOM kills). The serving legs below flip back
     # to host floats so they stay byte-identical to the r3 legs.
     cfg.TPU.NORMALIZE_ON_DEVICE = True
+    if device_warp:
+        # device-warp raw training mode + HBM dataset cache: augmentation
+        # (affine/mirror/photometric) runs on the MXU from device-resident
+        # frames; per-step H2D is labels + affine scalars only. On the
+        # 1-core tunneled host the host-augment pipeline is ~8x slower than
+        # the step and the per-step pixel transfer leaks (see above) — this
+        # is the recipe for long augmented campaigns. Training-recipe-only:
+        # the serving legs below are unaffected.
+        cfg.TPU.DEVICE_WARP = True
+        cfg.TPU.DEVICE_DATA_CACHE = True
     if bf16:
         cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     if lr_drops:
@@ -592,13 +603,27 @@ def run_production_parity(
             step_i = mid["step_i"]
             progress(f"mid-train resume at step {step_i}")
 
+        from rtm3d_tpu.parallel.mesh import DEVICE_BATCH_KEYS
+
+        # HBM dataset cache (device-warp mode): frames resident on device,
+        # batches carry image_idx + affine scalars instead of pixels
+        image_cache = None
+        if getattr(ds, "device_cache", False):
+            image_cache = jax.device_put(ds.canvas_array())
+            progress(
+                f"device data cache: {image_cache.nbytes / 1e9:.2f} GB in HBM"
+            )
+
         def _to_dev(item):
             _, b = item
             # dtype passes through: uint8 under NORMALIZE_ON_DEVICE (the
-            # jitted step normalises), float32 under the host-float path
+            # jitted step normalises), float32 under the host-float path;
+            # device-warp batches additionally carry warp/border/photo (or
+            # image_idx under the HBM cache)
             return {
-                "image": jnp.asarray(b["image"]),
-                "labels": {k: jnp.asarray(v) for k, v in b["labels"].items()},
+                k: jax.tree_util.tree_map(jnp.asarray, b[k])
+                for k in DEVICE_BATCH_KEYS
+                if k in b
             }
 
         # the tunnel client's per-transfer leak (see NORMALIZE_ON_DEVICE
@@ -620,7 +645,7 @@ def run_production_parity(
             loss_dev.clear()
 
         for b in prefetch_to_device(_step_stream(loader, steps, step_i), _to_dev):
-            state, metrics = train_step(state, b)
+            state, metrics = train_step(state, b, image_cache)
             loss_dev.append(metrics["loss"])
             step_i += 1
             if step_i % 100 == 0:
@@ -652,8 +677,11 @@ def run_production_parity(
     # --- the SAME weights through both inference stacks ---
     # serving legs eat host-normalised floats (as in every recorded
     # campaign): the torch leg has no device normaliser, and identical
-    # pixels on both sides is the point of the same-weights diff
+    # pixels on both sides is the point of the same-weights diff; the
+    # device-warp/HBM-cache training recipe flags are train-only
     cfg.TPU.NORMALIZE_ON_DEVICE = False
+    cfg.TPU.DEVICE_WARP = False
+    cfg.TPU.DEVICE_DATA_CACHE = False
     test_ds = create_dataset(data, cfg, is_training=False, split=eval_split)
     test_ds.img_size = list(ds.img_size)
     twin = build_torch_twin(backbone=backbone)
@@ -677,6 +705,7 @@ def run_production_parity(
             mode="production_same_weights", steps=steps, batch=batch, lr=lr,
             num_train=num_train, num_test=num_test,
             train_augment=train_augment, eval_split=eval_split, bf16=bf16,
+            device_warp=device_warp,
         ),
         "loss_first_last": [loss_j[0], loss_j[-1]] if loss_j else None,
         "accepted_counts": counts,
@@ -970,6 +999,13 @@ def main(argv=None):
         "with fp32 masters — the deployed flagship recipe; the torch twin "
         "always serves the exported fp32 canonical weights",
     )
+    p.add_argument(
+        "--device-warp", action="store_true",
+        help="(--production) train in device-warp raw mode with the HBM "
+        "dataset cache: augmentation runs on the MXU from device-resident "
+        "frames (TPU.DEVICE_WARP + TPU.DEVICE_DATA_CACHE) — the recipe for "
+        "long augmented campaigns on a slow host; serving legs unaffected",
+    )
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--score-thresh", type=float, default=None)
     p.add_argument("--residual-thresh", type=float, default=None)
@@ -1041,6 +1077,7 @@ def main(argv=None):
             if args.lr_drops else None,
             backbone=args.backbone,
             bf16=args.bf16,
+            device_warp=args.device_warp,
         )
     else:
         out = run_ap_parity(
