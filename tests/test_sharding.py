@@ -128,3 +128,23 @@ def test_sharded_detect_matches_single_device(rng):
     # legitimately diverges under fp reduction-order differences
     np.testing.assert_allclose(got3["cost"], ref3["cost"], rtol=0.05, atol=1e-2)
     assert np.array_equal(got3["accepted"], ref3["accepted"])
+
+
+def test_warmup_collectives_single_process_noop():
+    """warmup_collectives and sync_processes are no-ops single-process (the
+    multi-process Gloo-context establishment is exercised by the 2-process
+    orbax test); they must not touch the device or raise."""
+    from rtm3d_tpu.parallel.mesh import create_mesh, sync_processes, warmup_collectives
+
+    mesh = create_mesh(axes=("data",), shape=(-1,))
+    warmup_collectives(mesh)  # returns immediately at process_count()==1
+    sync_processes("noop")
+
+
+def test_checkpointer_collective_property(tmp_path):
+    """CheckPointer.collective is False single-process regardless of orbax
+    (msgpack master-only save contract unchanged)."""
+    from rtm3d_tpu.train.checkpoint import CheckPointer
+
+    assert CheckPointer(str(tmp_path)).collective is False
+    assert CheckPointer(str(tmp_path), use_orbax=True).collective is False
