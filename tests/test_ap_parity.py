@@ -26,7 +26,7 @@ def test_ap_parity_small(tmp_path):
         input_size=128,
         num_train=16,
         num_test=8,
-        steps=60,
+        steps=50,  # drift window = 50; the torch CPU leg prices every step
         batch=4,
         drift_steps=50,
         progress=lambda *a: None,
