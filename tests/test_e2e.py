@@ -223,13 +223,5 @@ def test_detect_cli_int8_is_2d_only_by_default(workdir, capsys):
             fields = line.split()
             if fields:  # any emitted row carries the 2D-only placeholders
                 assert fields[8] == "-1.00" and fields[14] == "-10.00"
-
-    out_3d = os.path.join(workdir["root"], "results_int8_3d")
-    detect_main(
-        base + ["--out-dir", out_3d, "--int8", "--int8-3d-anyway", "--int8-no-gate"]
-    )
-    out = capsys.readouterr().out
-    assert "serving 2D-only" not in out
-    assert "int8 gate" not in out
-    for n in names:
-        assert os.path.exists(os.path.join(out_3d, f"{n}.txt"))
+    # the --int8-3d-anyway/--int8-no-gate leg is exercised by
+    # test_evaluate_cli_int8 (evaluate passes both and scores the 3D table)
