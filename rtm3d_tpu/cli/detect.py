@@ -157,7 +157,9 @@ def main(argv=None):
 
         apply_fn, with_3d = None, True
         if args.int8:
-            apply_fn, calib = _int8_apply_fn(args, cfg, model, variables, ds)
+            apply_fn, calib, calib_nvalid = _int8_apply_fn(
+                args, cfg, model, variables, ds
+            )
             with_3d = args.int8_3d_anyway
             if not with_3d:
                 print(
@@ -166,7 +168,18 @@ def main(argv=None):
                     "--int8-3d-anyway to emit 3D output, or serve bf16"
                 )
             if calib and not args.int8_no_gate:
-                _int8_float_gate(cfg, model, variables, apply_fn, calib)
+                _int8_float_gate(
+                    cfg, model, variables, apply_fn, calib, calib_nvalid
+                )
+            elif not args.int8_no_gate:
+                # precomputed --calib-scales path: no calibration batches were
+                # built, so the default consistency gate has nothing to sweep —
+                # say so instead of silently skipping (advisor r4)
+                print(
+                    "int8 gate skipped (scales loaded from disk; pass "
+                    "--calib-batches without --calib-scales, or run "
+                    "evaluate --int8-guard for the gt-scored gate)"
+                )
         detect = make_detect_step(model, cfg, with_3d=with_3d, apply_fn=apply_fn)
 
     # multi-chip: shard the batch over the data axis, replicate the params
@@ -265,9 +278,11 @@ def _int8_apply_fn(args, cfg, model, variables, ds):
     ``--calib-batches`` split batches (from the already-constructed dataset)
     through the same normalisation the detect step applies.
 
-    Returns ``(apply_fn, calib)`` where ``calib`` is the list of normalised
-    calibration batches when calibration ran (None when scales were loaded
-    from disk) — the default int8-vs-float consistency gate reuses it."""
+    Returns ``(apply_fn, calib, calib_nvalid)`` where ``calib`` is the list
+    of normalised calibration batches when calibration ran (None when scales
+    were loaded from disk) and ``calib_nvalid`` the per-batch count of real
+    (non-pad_final-duplicate) rows — the default int8-vs-float consistency
+    gate reuses both so each real image contributes exactly once."""
     from rtm3d_tpu.nn.quant import (
         calibrate_act_scales,
         load_act_scales,
@@ -276,7 +291,7 @@ def _int8_apply_fn(args, cfg, model, variables, ds):
         skip_scales,
     )
 
-    calib = None
+    calib, calib_nvalid = None, None
     if args.calib_scales and os.path.exists(args.calib_scales):
         scales = load_act_scales(args.calib_scales)
         print(f"int8: loaded {len(scales)} activation scales from {args.calib_scales}")
@@ -287,7 +302,7 @@ def _int8_apply_fn(args, cfg, model, variables, ds):
             ds, min(args.batch_size, len(ds)), shuffle=False, drop_last=False,
             num_shards=1, shard_index=0, pad_final=True,
         )
-        calib = []
+        calib, calib_nvalid = [], []
         for i, batch in enumerate(loader):
             if i >= max(args.calib_batches, 1):
                 break
@@ -297,6 +312,7 @@ def _int8_apply_fn(args, cfg, model, variables, ds):
                      if k in ("image", "warp", "border")}, cfg))
             else:
                 calib.append(normalize_images(jnp.asarray(batch["image"]), cfg))
+            calib_nvalid.append(int(batch["num_valid"]))
         scales = calibrate_act_scales(model, variables, calib)
         print(f"int8: calibrated {len(scales)} conv activation scales "
               f"over {len(calib)} batches")
@@ -305,16 +321,20 @@ def _int8_apply_fn(args, cfg, model, variables, ds):
     skip = tuple(cfg.TPU.get("INT8_SKIP", ()))
     if skip:
         scales = skip_scales(scales, skip)
-    return quantized_apply(model, scales), calib
+    return quantized_apply(model, scales), calib, calib_nvalid
 
 
-def _int8_float_gate(cfg, model, variables, apply_fn, calib, iou_thresh=0.5):
+def _int8_float_gate(
+    cfg, model, variables, apply_fn, calib, calib_nvalid=None, iou_thresh=0.5
+):
     """Default-on serving gate: decode the calibration batches through BOTH
     the float and the int8 forward and compare the score-gated 2D candidate
     sets (class + IoU>=0.5 match). No ground truth needed — the float path
     is the reference. One line of output; a WARNING when int8 keeps <90% of
     the float path's 2D detections (use evaluate --int8-guard for the full
-    gt-scored AP gate)."""
+    gt-scored AP gate). ``calib_nvalid`` restricts each batch to its real
+    rows so pad_final wrap-around duplicates are not double-counted
+    (advisor r4)."""
     from rtm3d_tpu.decode.peaks import decode_detections
     from rtm3d_tpu.eval.ap import iou_2d_matrix
 
@@ -340,11 +360,13 @@ def _int8_float_gate(cfg, model, variables, apply_fn, calib, iou_thresh=0.5):
         return jax.jit(f)
 
     f_float, f_int8 = make_fn(None), make_fn(apply_fn)
+    if calib_nvalid is None:
+        calib_nvalid = [images.shape[0] for images in calib]
     n_float = n_int8 = n_matched = 0
-    for images in calib:
+    for images, nv in zip(calib, calib_nvalid):
         df = jax.device_get(f_float(variables, images))
         dq = jax.device_get(f_int8(variables, images))
-        for bi in range(images.shape[0]):
+        for bi in range(nv):
             vf, vq = df["valid"][bi], dq["valid"][bi]
             n_float += int(vf.sum())
             n_int8 += int(vq.sum())

@@ -39,14 +39,14 @@ def _stack(samples) -> Dict:
     return batch
 
 
-def _worker_loop(loader: "DataLoader", indices, n_batches, worker_id, out_q):
+def _worker_loop(loader: "DataLoader", indices, real, n_batches, worker_id, out_q):
     """Build this worker's round-robin share of the epoch's batches.
 
     Runs in a forked child: numpy/cv2 only — never touches jax/the device
     (fork-safety; same discipline as torch's _worker_loop)."""
     try:
         for b in range(worker_id, n_batches, loader.num_workers):
-            out_q.put((b, loader._build_batch(indices, b)))
+            out_q.put((b, loader._build_batch(indices, real, b)))
         out_q.put(("done", worker_id))
     except KeyboardInterrupt:
         pass
@@ -90,16 +90,35 @@ class DataLoader:
         """Per-epoch reshuffle parity with DistributedSampler.set_epoch."""
         self.epoch = epoch
 
-    def _indices(self) -> np.ndarray:
+    def _indices(self):
+        """This process's shard of the epoch permutation, plus a per-entry
+        real/pad mask.
+
+        Shard lengths are EQUALIZED (the torch DistributedSampler contract the
+        reference inherits, dataset_reader.py:312-313): when ``len(dataset)``
+        is not divisible by ``num_shards`` the global list is padded with
+        wrap-around duplicates before striding, so every process sees the
+        same number of batches. Without this, processes reach different
+        collective-step counts and a globally-sharded jit blocks forever
+        waiting for the short shards. Pad entries are a suffix of each shard
+        (they occupy the largest global positions) and are marked False in
+        the returned mask, so eval consumers can exclude them exactly; the
+        train path simply trains on the duplicates, as torch does.
+        """
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        return idx[self.shard_index :: self.num_shards]
+        total = -(-n // self.num_shards) * self.num_shards
+        if total > n:
+            idx = np.concatenate([idx, np.resize(idx, total - n)])  # cyclic
+        real = np.arange(total) < n
+        sl = slice(self.shard_index, None, self.num_shards)
+        return idx[sl], real[sl]
 
     def __len__(self):
-        n = len(self._indices())
+        n = len(self._indices()[0])
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     # ------------------------------------------------------------------
@@ -110,17 +129,21 @@ class DataLoader:
             (self.seed * 100003 + self.epoch * 1000003 + b * 7919) % (2**31 - 1)
         )
 
-    def _build_batch(self, indices: np.ndarray, b: int) -> Dict:
-        chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
-        num_valid = len(chunk)
-        if self.pad_final and num_valid < self.batch_size:
-            extra = np.resize(indices, self.batch_size - num_valid)  # cyclic
+    def _build_batch(self, indices: np.ndarray, real: np.ndarray, b: int) -> Dict:
+        sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
+        chunk, chunk_real = indices[sl], real[sl]
+        # shard-equalization pads are a suffix of the shard, so valid rows
+        # are a prefix of every batch and num_valid keeps its meaning
+        num_valid = int(chunk_real.sum())
+        if self.pad_final and len(chunk) < self.batch_size:
+            extra = np.resize(indices, self.batch_size - len(chunk))  # cyclic
             chunk = np.concatenate([chunk, extra])
         rng = self._batch_rng(b)
         samples = [self.dataset.__getitem__(int(i), rng=rng) for i in chunk]
         batch = _stack(samples)
         batch["num_valid"] = num_valid
-        # per-sample validity (False on wrap-around pad rows): unlike the
+        # per-sample validity (False on wrap-around pad rows — both the
+        # shard-equalization duplicates and the final-batch fill): unlike the
         # host-side num_valid scalar this shards correctly on the batch axis
         # under multi-process assembly, so jitted consumers (eval loss) can
         # mask padded rows exactly
@@ -128,15 +151,15 @@ class DataLoader:
         return batch
 
     # ------------------------------------------------------------------
-    def _produce(self, q: "queue.Queue", indices, n_batches):
+    def _produce(self, q: "queue.Queue", indices, real, n_batches):
         for b in range(n_batches):
-            q.put(self._build_batch(indices, b))
+            q.put(self._build_batch(indices, real, b))
         q.put(None)
 
-    def _iter_threaded(self, indices, n_batches) -> Iterator[Dict]:
+    def _iter_threaded(self, indices, real, n_batches) -> Iterator[Dict]:
         q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
         t = threading.Thread(
-            target=self._produce, args=(q, indices, n_batches), daemon=True
+            target=self._produce, args=(q, indices, real, n_batches), daemon=True
         )
         t.start()
         while True:
@@ -145,13 +168,13 @@ class DataLoader:
                 return
             yield item
 
-    def _iter_workers(self, indices, n_batches) -> Iterator[Dict]:
+    def _iter_workers(self, indices, real, n_batches) -> Iterator[Dict]:
         ctx = mp.get_context("fork")
         out_q = ctx.Queue(maxsize=max(self.prefetch, self.num_workers))
         workers = [
             ctx.Process(
                 target=_worker_loop,
-                args=(self, indices, n_batches, w, out_q),
+                args=(self, indices, real, n_batches, w, out_q),
                 daemon=True,
             )
             for w in range(self.num_workers)
@@ -187,11 +210,11 @@ class DataLoader:
             out_q.close()
 
     def __iter__(self) -> Iterator[Dict]:
-        indices = self._indices()
+        indices, real = self._indices()
         n_batches = len(self)
         if self.num_workers > 0 and n_batches > 0:
-            return self._iter_workers(indices, n_batches)
-        return self._iter_threaded(indices, n_batches)
+            return self._iter_workers(indices, real, n_batches)
+        return self._iter_threaded(indices, real, n_batches)
 
 
 def prefetch_to_device(iterator, put_fn, size: int = 2, use_thread=None) -> Iterator:

@@ -34,7 +34,11 @@ class Compose:
         self.transforms = transforms
 
     def __call__(self, img, labels: Optional[Labels] = None, rng=None, **params):
-        rng = rng or np.random
+        if rng is None:
+            # deterministic default (no global np.random fallback): direct
+            # callers get a reproducible stream; pipeline callers (dataset /
+            # loader) always pass their own per-batch rng
+            rng = np.random.RandomState(20)
         for t in self.transforms:
             img, labels = t(img, labels, rng=rng, **params)
         return img, labels

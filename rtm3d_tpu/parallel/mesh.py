@@ -138,10 +138,15 @@ def warmup_collectives(mesh: Mesh):
     single-process."""
     if jax.process_count() <= 1:
         return
-    # one row per device, sharded over every mesh axis; each process feeds
-    # its local rows (_put -> make_array_from_process_local_data)
+    # one row per device over a FULL-device 1-D mesh (not the caller's mesh:
+    # create_mesh_for_batch may trim to a device subset, and then this
+    # process's local rows would not match its addressable shards of the
+    # trimmed mesh — advisor r4). The Gloo/collective context being
+    # established is per process set, not per mesh, so the full-device
+    # warmup covers any sub-mesh the training step later uses.
+    warm_mesh = Mesh(np.asarray(jax.devices()), ("warm",))
     local = np.ones((jax.local_device_count(),), np.float32)
-    ones = _put(local, NamedSharding(mesh, P(tuple(mesh.axis_names))))
+    ones = _put(local, NamedSharding(warm_mesh, P("warm")))
 
     @jax.jit
     def _sum(x):

@@ -40,6 +40,58 @@ def test_checkpointer_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_schedule_matches_unbroken_run(tmp_path, rng, base_prog):
+    """Exact-restore resume: continuing from a step-k checkpoint reproduces
+    the unbroken run bit-for-bit — params AND the LR-schedule position.
+
+    Deliberate divergence from the reference: `Solver.load_state_dict`
+    (/root/reference/solver/Solver.py:52-63) runs one extra
+    optimizer.step() + scheduler.step() after restoring, so a resumed
+    reference run sees the schedule shifted one iteration early. The
+    rebuild restores exactly (PARITY.md §2.5 divergence entry)."""
+    from rtm3d_tpu.train.optim import build_optimizer
+    from tests.test_train_step import synth_batch
+
+    cfg = base_prog["cfg"]
+    step_fn = base_prog["step_fn"]
+    _, schedule = build_optimizer(cfg, base_prog["variables"]["params"])
+    batches = [synth_batch(np.random.RandomState(100 + i)) for i in range(4)]
+
+    # unbroken run: 4 steps
+    state_a = TrainState.create(base_prog["variables"], base_prog["tx"])
+    sched_a = []
+    for b in batches:
+        sched_a.append(float(schedule(int(np.asarray(state_a.step)))))
+        state_a, _ = step_fn(state_a, b)
+
+    # broken run: 2 steps, checkpoint, restore, 2 more steps
+    state_b = TrainState.create(base_prog["variables"], base_prog["tx"])
+    for b in batches[:2]:
+        state_b, _ = step_fn(state_b, b)
+    cp = CheckPointer(str(tmp_path))
+    cp.save("model_0000000", state_b, epoch=0, min_loss=1.0)
+    template = TrainState.create(base_prog["variables"], base_prog["tx"])
+    restored, _ = cp.load(template, use_latest=True)
+    # restored exactly at step 2 — no post-restore extra step
+    assert int(np.asarray(restored.step)) == 2
+    assert float(schedule(int(np.asarray(restored.step)))) == sched_a[2]
+    for b in batches[2:]:
+        restored, _ = step_fn(restored, b)
+
+    # the resumed trajectory is bit-identical to the unbroken one
+    assert int(np.asarray(restored.step)) == int(np.asarray(state_a.step)) == 4
+    for a, r in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+    for a, r in zip(
+        jax.tree_util.tree_leaves(state_a.opt_state),
+        jax.tree_util.tree_leaves(restored.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+
+
 def test_checkpointer_missing_returns_template(tmp_path):
     cfg = small_cfg()
     _, variables = init_model(cfg, jax.random.PRNGKey(0))
