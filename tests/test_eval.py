@@ -236,6 +236,253 @@ def test_single_pass_matches_rematch_oracle():
     assert got == pytest.approx(oracle_ap(), abs=1e-9)
 
 
+def full_rule_oracle_ap(
+    gts, dets, cls, metric, difficulty, recall_points, with_aos=False
+):
+    """Independent naive AP: per-threshold greedy REMATCH implementing every
+    devkit rule evaluate_ap models — difficulty buckets, neighbour-class
+    ignores, DontCare absorption, min-height ignored detections (which
+    SHADOW a matched valid gt out of the recall denominator), valid-over-
+    ignored preference — with plain python loops and no event/cumsum
+    machinery. Used by the differential fuzz to pin evaluate_ap's
+    single-pass formulation across every branch of its matching loop.
+
+    Overlap VALUES are taken from the shared overlap_matrix (the native
+    float32 BEV kernel vs a float64 scalar clipper can land on opposite
+    sides of the min-overlap bar for fuzzed near-threshold pairs, which
+    would make exact equality ill-defined); scalar-vs-matrix overlap parity
+    is covered separately by test_bev_matrix_matches_scalar. Everything
+    downstream of the overlap numbers is computed independently here."""
+    from rtm3d_tpu.eval.ap import (
+        DIFFICULTY,
+        MIN_OVERLAP,
+        NEIGHBOR_CLASSES,
+        overlap_matrix,
+    )
+
+    min_ov = MIN_OVERLAP[metric][0 if cls == "Car" else 1]
+    gt_min_h, max_occ, max_trunc = DIFFICULTY[difficulty]
+    neighbors = NEIGHBOR_CLASSES.get(cls, ())
+
+    scenes, total_valid, scores = [], 0, set()
+    for g, d in zip(gts, dets):
+        valid, ignored, dc = [], [], []
+        for o in g:
+            if o["type"] == cls:
+                ok = (
+                    (o["bbox"][3] - o["bbox"][1]) >= gt_min_h
+                    and o["occluded"] <= max_occ
+                    and o["truncated"] <= max_trunc
+                )
+                (valid if ok else ignored).append(o)
+            elif o["type"] in neighbors:
+                ignored.append(o)
+            elif o["type"] == "DontCare":
+                dc.append(o)
+        ds = sorted((o for o in d if o["type"] == cls), key=lambda o: -o["score"])
+        total_valid += len(valid)
+        scores.update(o["score"] for o in ds)
+        ovv = overlap_matrix(metric, ds, valid)
+        ovi = overlap_matrix(metric, ds, ignored)
+        dcf, small, sims = [], [], []
+        for det in ds:
+            b = det["bbox"]
+            area = max((b[2] - b[0]) * (b[3] - b[1]), 1e-12)
+            f = 0.0
+            for c in dc:
+                cb = c["bbox"]
+                ix = max(0.0, min(b[2], cb[2]) - max(b[0], cb[0]))
+                iy = max(0.0, min(b[3], cb[3]) - max(b[1], cb[1]))
+                f = max(f, (ix * iy) / area)
+            dcf.append(f)
+            small.append((b[3] - b[1]) < gt_min_h)
+            sims.append(
+                [0.5 * (1.0 + np.cos(det["alpha"] - gt["alpha"])) for gt in valid]
+            )
+        scenes.append((ds, len(valid), len(ignored), ovv, ovi, dcf, small, sims))
+
+    if total_valid == 0:
+        return (0.0, 0.0) if with_aos else 0.0
+    pts = []  # (recall, precision, sim-precision) per score threshold
+    for t in sorted(scores, reverse=True):
+        tp = fp = sh = 0
+        sim = 0.0
+        for ds, nv, ni, ovv, ovi, dcf, small, sims in scenes:
+            used_v, used_i = [False] * nv, [False] * ni
+            for i, det in enumerate(ds):
+                if det["score"] < t:
+                    break  # ds sorted by descending score
+                best, bj = min_ov, -1
+                for j in range(nv):
+                    if not used_v[j] and ovv[i][j] >= min_ov and ovv[i][j] > (
+                        best if bj >= 0 else -1.0
+                    ):
+                        best, bj = ovv[i][j], j
+                if bj >= 0:
+                    used_v[bj] = True
+                    if small[i]:
+                        sh += 1
+                    else:
+                        tp += 1
+                        sim += sims[i][bj]
+                    continue
+                best, bj = min_ov, -1
+                for j in range(ni):
+                    if not used_i[j] and ovi[i][j] >= min_ov and ovi[i][j] > (
+                        best if bj >= 0 else -1.0
+                    ):
+                        best, bj = ovi[i][j], j
+                if bj >= 0:
+                    used_i[bj] = True
+                    continue
+                if small[i]:
+                    continue
+                if dcf[i] >= min_ov:
+                    continue
+                fp += 1
+        denom = total_valid - sh
+        rec = tp / denom if denom > 0 else 0.0
+        p = tp + fp
+        pts.append((rec, tp / p if p else 0.0, sim / p if p else 0.0))
+
+    if recall_points == 11:
+        grid = np.linspace(0.0, 1.0, 11)
+    else:
+        grid = np.linspace(1.0 / recall_points, 1.0, recall_points)
+    ap = aos = 0.0
+    for r in grid:
+        at = [(prec, sp) for rec, prec, sp in pts if rec >= r]
+        ap += (max(p for p, _ in at) if at else 0.0) / len(grid)
+        aos += (max(s for _, s in at) if at else 0.0) / len(grid)
+    ap, aos = min(ap, 1.0), min(aos, 1.0)
+    return (ap, aos) if with_aos else ap
+
+
+def _fuzz_dataset(rng, n_img):
+    """Random scenes exercising every matching-loop branch: all three eval
+    classes plus neighbour (Van, Person_sitting), irrelevant (Truck) and
+    DontCare gt; occlusion/truncation spanning the buckets; bbox heights
+    straddling the 25/40 px difficulty bars; jittered + duplicated + stray +
+    deliberately-small detections; scores quantized to force ties."""
+    det_classes = ["Car", "Pedestrian", "Cyclist"]
+    gt_classes = det_classes + ["Van", "Person_sitting", "Truck", "DontCare"]
+
+    def rand_obj(cls, score=None):
+        h = float(rng.uniform(15, 90))
+        x, y = float(rng.uniform(0, 1100)), float(rng.uniform(100, 250))
+        w = h * float(rng.uniform(0.6, 2.2))
+        return {
+            "type": cls,
+            "truncated": float(rng.uniform(0, 0.6)),
+            "occluded": int(rng.randint(0, 4)),
+            "alpha": float(rng.uniform(-np.pi, np.pi)),
+            "bbox": np.array([x, y, x + w, y + h]),
+            "dim": np.array(
+                [rng.uniform(1.0, 2.2), rng.uniform(0.5, 2.0), rng.uniform(1.0, 5.0)]
+            ),
+            "loc": np.array(
+                [rng.uniform(-20, 20), rng.uniform(1.0, 2.0), rng.uniform(4, 70)]
+            ),
+            "ry": float(rng.uniform(-np.pi, np.pi)),
+            "score": 1.0 if score is None else score,
+        }
+
+    def jitter(o, cls=None):
+        h = o["bbox"][3] - o["bbox"][1]
+        j = dict(o)
+        j["type"] = cls or o["type"]
+        j["bbox"] = o["bbox"] + rng.uniform(-0.18 * h, 0.18 * h, 4)
+        j["loc"] = o["loc"] + rng.uniform(-0.35, 0.35, 3)
+        j["dim"] = o["dim"] * rng.uniform(0.9, 1.1, 3)
+        j["ry"] = o["ry"] + float(rng.uniform(-0.25, 0.25))
+        j["alpha"] = o["alpha"] + float(rng.uniform(-0.4, 0.4))
+        j["score"] = round(float(rng.rand()), 1)  # coarse grid -> many ties
+        return j
+
+    gts, dets = [], []
+    for _ in range(n_img):
+        g, d = [], []
+        for _ in range(rng.randint(0, 6)):
+            o = rand_obj(gt_classes[rng.randint(len(gt_classes))])
+            g.append(o)
+            if rng.rand() < 0.3:  # overlapping gt cluster
+                g.append(jitter(o, cls=o["type"]) | {"score": 1.0})
+            if o["type"] != "DontCare" and rng.rand() < 0.75:
+                cls = (
+                    o["type"]
+                    if o["type"] in det_classes or rng.rand() < 0.5
+                    else det_classes[rng.randint(3)]
+                )
+                if cls in det_classes:
+                    d.append(jitter(o, cls=cls))
+                    if rng.rand() < 0.2:  # duplicate det on the same gt
+                        d.append(jitter(o, cls=cls))
+            if o["type"] == "DontCare" and rng.rand() < 0.6:
+                # det sitting (mostly) inside the DontCare region
+                dc = jitter(o, cls=det_classes[rng.randint(3)])
+                dc["bbox"] = o["bbox"] + rng.uniform(-2, 2, 4)
+                d.append(dc)
+        for _ in range(rng.randint(0, 3)):  # strays, some below min height
+            d.append(
+                jitter(rand_obj(det_classes[rng.randint(3)]), cls=None)
+            )
+        gts.append(g)
+        dets.append(d)
+    return gts, dets
+
+
+def _assert_cells_match(gts, dets, cells):
+    for cls, metric, diff, rp in cells:
+        want = full_rule_oracle_ap(gts, dets, cls, metric, diff, rp)
+        got = evaluate_ap(
+            gts, dets, cls, metric, diff, recall_points=rp
+        )
+        assert got == pytest.approx(want, abs=1e-9), (cls, metric, diff, rp)
+    # AOS rides the bbox cells
+    for cls in ("Car", "Pedestrian"):
+        want = full_rule_oracle_ap(
+            gts, dets, cls, "bbox", "moderate", 40, with_aos=True
+        )
+        got = evaluate_ap(
+            gts, dets, cls, "bbox", "moderate", with_aos=True
+        )
+        assert got[0] == pytest.approx(want[0], abs=1e-9)
+        assert got[1] == pytest.approx(want[1], abs=1e-9)
+
+
+def test_full_rule_differential_fuzz():
+    """evaluate_ap vs the naive per-threshold full-rule oracle on random
+    scenes — quick slice with mixed cells (the 1000-scene sweep over every
+    cell is test_full_rule_differential_fuzz_1000)."""
+    for seed in range(3):
+        gts, dets = _fuzz_dataset(np.random.RandomState(100 + seed), 25)
+        _assert_cells_match(
+            gts,
+            dets,
+            [
+                ("Car", "bbox", "easy", 40),
+                ("Car", "3d", "moderate", 40),
+                ("Pedestrian", "bev", "hard", 11),
+                ("Cyclist", "bbox", "moderate", 11),
+            ],
+        )
+
+
+def test_full_rule_differential_fuzz_1000():
+    """VERDICT r4 Weak #4 closure: ~1000 fuzzed scenes, equality asserted on
+    bbox/bev/3d x easy/moderate/hard x R11/R40 x all three classes."""
+    cells = [
+        (cls, metric, diff, rp)
+        for cls in ("Car", "Pedestrian", "Cyclist")
+        for metric in ("bbox", "bev", "3d")
+        for diff in ("easy", "moderate", "hard")
+        for rp in (40, 11)
+    ]
+    for seed in range(20):
+        gts, dets = _fuzz_dataset(np.random.RandomState(1000 + seed), 50)
+        _assert_cells_match(gts, dets, cells)
+
+
 def test_eval_scales_to_real_val_size():
     """3,769-image-scale evaluation must finish in seconds, not hours
     (single-pass matching + native overlap kernel)."""
