@@ -12,17 +12,59 @@ Prints ONE JSON line. ``vs_baseline`` is relative to the upstream RTM3D
 paper's published DLA-34 runtime (0.055 s/image ~= 18.2 FPS on a GTX 1080Ti,
 arXiv:2001.03343 Tab. 4) — the reference repo itself publishes no numbers
 (BASELINE.md): >1.0 means faster than the paper's GPU figure.
+
+``--b1`` switches to the reference's own headline metric — single-image
+serving latency (reference detect.py:55-60 times each batch-1 forward):
+warm, device-synced p50 ms/image from a profiler trace, same full detect
+pipeline. vs_baseline is then paper_ms / measured_ms (>1.0 = lower latency
+than the paper's 55 ms). The driver runs the default throughput mode.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 PAPER_FPS = 18.2  # RTM3D paper DLA-34, GTX 1080Ti
+PAPER_MS = 55.0  # the same figure as per-image latency
 BATCH = 128
 H, W = 384, 1280
+
+
+def main_b1():
+    import jax
+
+    from rtm3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from rtm3d_tpu.config import default_config
+    from rtm3d_tpu.nn.model import init_model
+    from rtm3d_tpu.train.step import make_detect_step
+    from tools.bench_latency import bench_batch
+
+    cfg = default_config()
+    cfg.MODEL.BACKBONE = "DLA-34"
+    cfg.INPUT_SIZE = (W, H)
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.DETECTOR.TOPK_CANDIDATES = 100
+    cfg.DETECTOR.SCORE_THRESH = 0.4
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    detect = make_detect_step(model, cfg, with_3d=True)
+    r = bench_batch(detect, variables, 1, 30)
+    ms = r["device"]["p50_ms"]
+    print(
+        json.dumps(
+            {
+                "metric": "detect_ms_per_image_dla34_b1_1280x384",
+                "value": ms,
+                "unit": "ms/image",
+                "vs_baseline": round(PAPER_MS / ms, 3),
+            }
+        )
+    )
 
 
 def main():
@@ -113,4 +155,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--b1" in sys.argv[1:]:
+        main_b1()
+    else:
+        main()

@@ -26,6 +26,7 @@ from typing import Callable, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from rtm3d_tpu.nn.layers import Conv
@@ -70,42 +71,136 @@ def skip_scales(
     return {k: (0.0 if hit(k) else v) for k, v in scales.items()}
 
 
+def _match_fns(patterns: Iterable[str]):
+    """skip_scales-style matching: trailing "/" = path prefix, else suffix."""
+    prefixes = tuple(p for p in patterns if p.endswith("/"))
+    suffixes = tuple(p for p in patterns if not p.endswith("/"))
+
+    def hit(k: str) -> bool:
+        return (bool(suffixes) and k.endswith(suffixes)) or (
+            bool(prefixes) and k.startswith(prefixes)
+        )
+
+    return hit
+
+
 def calibrate_act_scales(
-    model, variables, batches: Iterable[jnp.ndarray]
-) -> Dict[str, float]:
-    """Absmax activation calibration over ``batches`` (arrays shaped like
-    model input, already normalised the way the detect path feeds the
-    model): the max |input| per Conv.
+    model,
+    variables,
+    batches: Iterable[jnp.ndarray],
+    method: str = "absmax",
+    per_channel: Iterable[str] = (),
+    mse_grid: int = 16,
+) -> Dict[str, object]:
+    """Activation calibration over ``batches`` (arrays shaped like model
+    input, already normalised the way the detect path feeds the model).
+    Returns the per-Conv clip value the quantizer divides by 127.
+
+    ``method`` selects the clipping scheme (the absmax default is the
+    crudest — a single outlier wrecks the whole tensor's resolution):
+
+    - ``absmax``  — max |input| per Conv (max across batches);
+    - ``p99.9`` / ``p99.99`` — that percentile of |input| (max across
+      batches): outlier-robust clipping;
+    - ``mse`` — per Conv, the clip c (from a ``mse_grid``-point grid up to
+      the global absmax) minimising the int8 quantization error
+      E[(x - dequant(quant_c(x)))^2] accumulated over all batches
+      (two passes: absmax first, then the MSE accumulation).
+
+    ``per_channel`` lists path patterns (skip_scales matching rules) whose
+    convs calibrate PER-INPUT-CHANNEL: the returned value is a list of
+    per-channel clips and the quantizer folds them into the weights
+    (x_q[c] = x[c]/s[c], w_eff[c] = w[c]*s[c] — exact for the conv sum),
+    giving heterogeneous-magnitude inputs (e.g. the vertex-regression
+    branch's fused features) full int8 resolution per channel. Per-channel
+    convs use absmax or percentile statistics; under ``method='mse'`` they
+    fall back to per-channel absmax (a per-channel MSE search is a grid per
+    channel — unwarranted while the tensor-level search exists).
 
     The sweep runs as ONE jitted program per batch shape: the interceptor
-    collects per-Conv absmax *tracers* during tracing and the program
-    returns them alongside nothing else — XLA dead-code-eliminates the
-    model outputs and fuses the reductions into the forward. (The previous
-    eager sweep executed the whole model op-by-op: ~10 s of single-core CPU
-    per batch at test scale, minutes on the serving CLI.)"""
+    collects per-Conv statistics *tracers* during tracing and the program
+    returns only them — XLA dead-code-eliminates the model outputs and
+    fuses the reductions into the forward."""
     model = _unfused(model)
-    stats: Dict[str, float] = {}
+    batches = list(batches)
+    is_pc = _match_fns(per_channel)
+    q = {"p99.9": 99.9, "p99.99": 99.99}.get(method)
+    if method not in ("absmax", "mse") and q is None:
+        raise ValueError(f"unknown calibration method {method!r}")
 
-    def batch_maxes(b):
+    def batch_stats(b):
         traced: Dict[str, jnp.ndarray] = {}
 
         def interceptor(next_fun, args, kwargs, context):
             m = context.module
             if isinstance(m, Conv) and context.method_name == "__call__":
                 k = _key(m)
-                a = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
-                traced[k] = jnp.maximum(traced[k], a) if k in traced else a
+                x = jnp.abs(args[0].astype(jnp.float32))
+                if is_pc(k):
+                    flat = x.reshape(-1, x.shape[-1])
+                    v = (
+                        jnp.quantile(flat, q / 100.0, axis=0)
+                        if (q is not None and method != "mse")
+                        else jnp.max(flat, axis=0)
+                    )
+                else:
+                    v = (
+                        jnp.quantile(x.ravel(), q / 100.0)
+                        if q is not None
+                        else jnp.max(x)
+                    )
+                traced[k] = jnp.maximum(traced[k], v) if k in traced else v
             return next_fun(*args, **kwargs)
 
         with nn.intercept_methods(interceptor):
             model.apply(variables, b)
         return traced
 
-    fn = jax.jit(batch_maxes)
+    fn = jax.jit(batch_stats)
+    stats: Dict[str, np.ndarray] = {}
     for b in batches:
         for k, v in jax.device_get(fn(b)).items():
-            stats[k] = max(stats.get(k, 0.0), float(v))
-    return stats
+            v = np.asarray(v, np.float64)
+            stats[k] = np.maximum(stats.get(k, 0.0), v)
+
+    if method == "mse":
+        # pass 2: accumulate quantization MSE at grid clips <= global absmax
+        amax = {k: float(v) for k, v in stats.items() if np.ndim(v) == 0}
+
+        def batch_mse(b):
+            traced: Dict[str, jnp.ndarray] = {}
+
+            def interceptor(next_fun, args, kwargs, context):
+                m = context.module
+                if isinstance(m, Conv) and context.method_name == "__call__":
+                    k = _key(m)
+                    if k in amax and amax[k] > 0.0:
+                        x = args[0].astype(jnp.float32)
+                        errs = []
+                        for i in range(mse_grid):
+                            s = amax[k] * (i + 1) / mse_grid / 127.0
+                            xq = jnp.clip(jnp.round(x / s), -127, 127) * s
+                            errs.append(jnp.mean((x - xq) ** 2))
+                        e = jnp.stack(errs)
+                        traced[k] = traced[k] + e if k in traced else e
+                return next_fun(*args, **kwargs)
+
+            with nn.intercept_methods(interceptor):
+                model.apply(variables, b)
+            return traced
+
+        fn2 = jax.jit(batch_mse)
+        mse: Dict[str, np.ndarray] = {}
+        for b in batches:
+            for k, v in jax.device_get(fn2(b)).items():
+                mse[k] = mse.get(k, 0.0) + np.asarray(v, np.float64)
+        for k, e in mse.items():
+            stats[k] = amax[k] * (int(np.argmin(e)) + 1) / mse_grid
+
+    return {
+        k: (float(v) if np.ndim(v) == 0 else [float(x) for x in v])
+        for k, v in stats.items()
+    }
 
 
 def save_act_scales(path: str, scales: Dict[str, float]) -> None:
@@ -113,32 +208,49 @@ def save_act_scales(path: str, scales: Dict[str, float]) -> None:
         json.dump(scales, f, indent=1, sort_keys=True)
 
 
-def load_act_scales(path: str) -> Dict[str, float]:
+def load_act_scales(path: str) -> Dict[str, object]:
     with open(path) as f:
-        return {k: float(v) for k, v in json.load(f).items()}
+        return {
+            k: ([float(x) for x in v] if isinstance(v, list) else float(v))
+            for k, v in json.load(f).items()
+        }
 
 
-def _quantized_conv(m: Conv, x, s_act: float):
-    """int8 twin of layers.Conv.__call__ on the same params."""
+def _quantized_conv(m: Conv, x, s_act):
+    """int8 twin of layers.Conv.__call__ on the same params.
+
+    ``s_act`` is either a scalar clip (per-tensor activation scale) or a
+    per-input-channel clip vector: x_q[c] = x[c]/s_x[c] with the channel
+    scales FOLDED into the weights (w_eff[c] = w[c]*s_x[c]) — exact for the
+    conv sum, so only the two int8 roundings differ from float."""
     params = m.variables["params"]["conv"]
     w = params["kernel"].astype(jnp.float32)
     k = m.kernel_size
     pad = m.padding if m.padding is not None else (k - 1) * m.dilation // 2
 
-    s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)  # (cout,)
-    s_x = max(s_act / 127.0, 1e-12)
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127).astype(jnp.int8)
-    wq = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    if np.ndim(s_act) == 0:
+        s_x = max(float(s_act) / 127.0, 1e-12)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127)
+        s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+        wq = jnp.clip(jnp.round(w / s_w), -127, 127)
+        out_scale = s_w * s_x  # (cout,)
+    else:
+        s_x = np.maximum(np.asarray(s_act, np.float32) / 127.0, 1e-12)  # (cin,)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127)
+        w_eff = w * jnp.asarray(s_x)[None, None, :, None]
+        s_w = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)) / 127.0, 1e-12)
+        wq = jnp.clip(jnp.round(w_eff / s_w), -127, 127)
+        out_scale = s_w  # s_x already folded into the weights
     y = jax.lax.conv_general_dilated(
-        xq,
-        wq,
+        xq.astype(jnp.int8),
+        wq.astype(jnp.int8),
         (m.stride, m.stride),
         [(pad, pad), (pad, pad)],
         rhs_dilation=(m.dilation, m.dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    y = y.astype(jnp.float32) * (s_w * s_x)
+    y = y.astype(jnp.float32) * out_scale
     if "bias" in params:
         y = y + params["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -158,7 +270,10 @@ def quantized_apply(model, act_scales: Dict[str, float]) -> Callable:
         m = context.module
         if isinstance(m, Conv) and context.method_name == "__call__":
             s = act_scales.get(_key(m), 0.0)
-            if s > 0.0:
+            if np.ndim(s) > 0:  # per-channel clip vector
+                if max(s) > 0.0:
+                    return _quantized_conv(m, args[0], s)
+            elif s > 0.0:
                 return _quantized_conv(m, args[0], s)
         return next_fun(*args, **kwargs)
 

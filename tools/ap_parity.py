@@ -861,7 +861,7 @@ def _detect_torch(cfg, twin, ds, batch, out_dir):
 
 
 def _score_both(data, res_j, res_t, res_q=None, res_sw=None, min_overlap=None,
-                min_height=None, split="test"):
+                min_height=None, split="test", recall_points=40):
     from rtm3d_tpu.eval.ap import evaluate_directories
 
     with open(os.path.join(data, "ImageSets", f"{split}.txt")) as f:
@@ -874,6 +874,7 @@ def _score_both(data, res_j, res_t, res_q=None, res_sw=None, min_overlap=None,
                 kw = dict(
                     class_name=cls, metric=metric, difficulty=diff,
                     min_overlap=min_overlap, min_height=min_height,
+                    recall_points=recall_points,
                 )
                 a_j = evaluate_directories(gt_dir, res_j, names, **kw)
                 a_t = evaluate_directories(gt_dir, res_t, names, **kw)

@@ -95,6 +95,10 @@ def main(argv=None):
     p.add_argument("--batches", type=str, default="1,8,32")
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--backbone", type=str, default="DLA-34",
+                   choices=["DLA-34", "RESNET-18"])
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)
 
@@ -110,9 +114,11 @@ def main(argv=None):
     from rtm3d_tpu.train.step import make_detect_step
 
     cfg = default_config()
-    cfg.MODEL.BACKBONE = "DLA-34"
+    cfg.MODEL.BACKBONE = args.backbone
+    if args.backbone == "RESNET-18":
+        cfg.MODEL.KFNs = ["layer1", "layer2", "layer3", "layer4"]
     cfg.INPUT_SIZE = (W, H)
-    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.COMPUTE_DTYPE = args.dtype
     cfg.DETECTOR.TOPK_CANDIDATES = 100
     cfg.DETECTOR.SCORE_THRESH = 0.4
 
@@ -134,11 +140,21 @@ def main(argv=None):
     results = []
     for b in [int(x) for x in args.batches.split(",")]:
         r = bench_batch(detect, variables, b, args.iters)
+        r["backbone"], r["dtype"] = args.backbone, args.dtype
         print(json.dumps(r))
         results.append(r)
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"int8": bool(args.int8), "results": results}, f, indent=1)
+            json.dump(
+                {
+                    "int8": bool(args.int8),
+                    "backbone": args.backbone,
+                    "dtype": args.dtype,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
 
 
 if __name__ == "__main__":
