@@ -352,6 +352,127 @@ def test_two_process_orbax_kill_resume(tmp_path):
     assert os.path.isdir(tag.read_text().strip())
 
 
+_SINGLE_WORKER = r"""
+import os, sys
+cfg_path = sys.argv[1]; epochs = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+sys.path.insert(0, os.getcwd())
+import numpy as np
+from rtm3d_tpu.cli.train import main
+
+state = main(["--model-config", cfg_path, "--num-epochs", epochs, "--test-interval", "99"])
+print("SINGLE_WORKER_DONE", int(np.asarray(state.step)))
+"""
+
+
+@pytest.mark.skipif(os.environ.get("CI_FAST"), reason="slow subprocess test")
+@pytest.mark.slow
+def test_orbax_cross_topology_resume(tmp_path):
+    """Elasticity probe (VERDICT r4 stretch #9): an orbax checkpoint written
+    by N processes restores into a DIFFERENT process count. The train state
+    is replicated over the data mesh, so the on-disk arrays are full logical
+    arrays and topology is a restore-time property, not a checkpoint
+    property — this test proves it both ways:
+
+      phase A: 1-process run saves epoch 0  -> resumed by 2 processes
+      phase B: 2-process run saves epoch 1  -> resumed by 1 process
+
+    Each leg asserts the resume banner and the exact final step count (the
+    4-image/batch-4 config gives 1 global step per epoch regardless of
+    process count, so step == epochs trained)."""
+    import yaml
+
+    from rtm3d_tpu.data.synthetic import generate_kitti
+
+    data = generate_kitti(
+        str(tmp_path / "kitti"), num_train=4, num_test=2, img_hw=(48, 64), max_objs=3
+    )
+    cfg = {
+        "INPUT_SIZE": "(64, 64)",
+        "IS_RECT": True,
+        "BATCH_SIZE": 4,
+        "DATASET": {"PATH": data, "MAX_OBJS": 8},
+        "MODEL": {
+            "BACKBONE": "RESNET-18",
+            "KFNs": ["layer1", "layer2", "layer3", "layer4"],
+        },
+        "TRAINING": {
+            "WEIGHTS": str(tmp_path / "weights"),
+            "LOGDIR": str(tmp_path / "logs"),
+            "CHECKPOINT_MODE": "resume",
+            "USE_ORBAX": True,
+        },
+        "SOLVER": {
+            "BASE_LR": 0.001,
+            "MAX_EPOCH": 3,
+            "WARMUP_ITERS": 2,
+            "STEPS": "(1000, 2000)",
+        },
+        "TPU": {"DONATE": False},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    single = tmp_path / "single_worker.py"
+    single.write_text(_SINGLE_WORKER)
+    multi = tmp_path / "orbax_worker.py"
+    multi.write_text(_ORBAX_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    wdir = tmp_path / "weights" / "RESNET-18"
+    port = str(29561 + (os.getpid() % 50) * 2)
+
+    def run_single(epochs, log):
+        logf = open(tmp_path / log, "w")
+        p = subprocess.Popen(
+            [sys.executable, "-u", str(single), cfg_path, str(epochs)],
+            stdout=logf, stderr=subprocess.STDOUT, env=env, cwd="/root/repo",
+        )
+        p.wait(timeout=900)
+        out = (tmp_path / log).read_text()
+        assert p.returncode == 0, out[-3000:]
+        return out
+
+    def run_multi(epochs, log):
+        procs = []
+        for i in range(2):
+            logf = open(tmp_path / f"{log}_w{i}.log", "w")
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-u", str(multi), str(i), "2", port,
+                     cfg_path, str(epochs)],
+                    stdout=logf, stderr=subprocess.STDOUT, env=env,
+                    cwd="/root/repo",
+                )
+            )
+        for p in procs:
+            p.wait(timeout=900)
+        outs = [(tmp_path / f"{log}_w{i}.log").read_text() for i in range(2)]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+        return outs
+
+    # phase A: single-process epoch 0 -> resume as 2 processes (epoch 1)
+    out_a = run_single(1, "a_single.log")
+    assert "SINGLE_WORKER_DONE 1" in out_a
+    assert os.path.isdir(wdir / "model_0000000")
+    outs_b = run_multi(2, "b")
+    master = [o for o in outs_b if "resumed from epoch 1" in o]
+    assert len(master) == 1, outs_b[0][-2000:]
+    for out in outs_b:
+        assert "ORBAX_WORKER_DONE" in out
+        assert int(out.rsplit("ORBAX_WORKER_DONE", 1)[1].split()[1]) == 2
+
+    # phase B: the 2-process epoch-1 checkpoint -> resume as 1 process
+    out_c = run_single(3, "c_single.log")
+    assert "resumed from epoch 2" in out_c, out_c[-2000:]
+    assert "SINGLE_WORKER_DONE 3" in out_c
+
+
 @pytest.mark.skipif(os.environ.get("CI_FAST"), reason="slow subprocess test")
 @pytest.mark.slow
 def test_two_process_spmd(tmp_path):
