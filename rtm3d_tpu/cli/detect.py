@@ -45,15 +45,17 @@ def parse_args(argv=None):
         "--int8", action="store_true",
         help="int8 serving path (post-training quantized convs, nn/quant.py). "
         "2D-ONLY by default: the 3D residual<0.1 acceptance gate demands "
-        "vertex precision int8 features cannot carry (measured ~26%% of the "
-        "float path's accepted 3D detections, PARITY.md) — pass "
+        "vertex precision int8 features cannot carry — the best variant of "
+        "a 4-scheme calibration sweep keeps 44/107 = 41%% of the float "
+        "path's accepted 3D detections (PARITY.md, "
+        "docs/experiments/int8_calib_sweep_r5.json) — pass "
         "--int8-3d-anyway to emit 3D output regardless",
     )
     p.add_argument(
         "--int8-3d-anyway", action="store_true",
         help="explicit acknowledgement: run the 3D solve under --int8 even "
-        "though the residual gate keeps only ~26%% of the float path's 3D "
-        "detections; prefer bf16 serving when the 3D box is the product",
+        "though the residual gate keeps at most ~41%% of the float path's "
+        "3D detections; prefer bf16 serving when the 3D box is the product",
     )
     p.add_argument(
         "--int8-no-gate", action="store_true",
@@ -62,7 +64,16 @@ def parse_args(argv=None):
     )
     p.add_argument(
         "--calib-batches", type=int, default=2,
-        help="batches swept for int8 activation calibration (absmax)",
+        help="batches swept for int8 activation calibration",
+    )
+    p.add_argument(
+        "--calib-method", type=str, default="mse",
+        choices=("mse", "absmax", "p99.9", "p99.99"),
+        help="activation-clip selection: MSE-optimal grid search (default — "
+        "dominates absmax on every cell of the r5 sweep), raw absmax, or "
+        "outlier-percentile (measured WORSE here: the extreme activations "
+        "carry vertex signal, clipping them is catastrophic for the 3D "
+        "gate; see docs/experiments/int8_calib_sweep_r5.json)",
     )
     p.add_argument(
         "--calib-scales", type=str, default=None,
@@ -163,8 +174,9 @@ def main(argv=None):
             with_3d = args.int8_3d_anyway
             if not with_3d:
                 print(
-                    "int8: serving 2D-only (the 3D residual gate keeps ~26% "
-                    "of float 3D detections under int8 — PARITY.md); pass "
+                    "int8: serving 2D-only (the 3D residual gate keeps at "
+                    "most ~41% of float 3D detections under int8, best of a "
+                    "4-scheme calibration sweep — PARITY.md); pass "
                     "--int8-3d-anyway to emit 3D output, or serve bf16"
                 )
             if calib and not args.int8_no_gate:
@@ -313,9 +325,11 @@ def _int8_apply_fn(args, cfg, model, variables, ds):
             else:
                 calib.append(normalize_images(jnp.asarray(batch["image"]), cfg))
             calib_nvalid.append(int(batch["num_valid"]))
-        scales = calibrate_act_scales(model, variables, calib)
+        scales = calibrate_act_scales(
+            model, variables, calib, method=args.calib_method
+        )
         print(f"int8: calibrated {len(scales)} conv activation scales "
-              f"over {len(calib)} batches")
+              f"({args.calib_method}) over {len(calib)} batches")
         if args.calib_scales:
             save_act_scales(args.calib_scales, scales)
     skip = tuple(cfg.TPU.get("INT8_SKIP", ()))

@@ -228,9 +228,13 @@ def default_config() -> Config:
         # int8 serving: conv path-suffixes kept in float. The header output
         # convs ("head") are <0.5% of FLOPs but carry the heatmap logits and
         # the vertex regression whose quantization error the 3D solver's
-        # residual<0.1 gate amplifies (measured: full-int8 accepts 11/93
-        # detections on a trained checkpoint; float-head restores parity —
-        # PARITY.md). Empty tuple = quantize everything (round-2 behaviour).
+        # residual<0.1 gate amplifies (r5 sweep on a trained checkpoint,
+        # docs/experiments/int8_calib_sweep_r5.json: full-int8 accepts
+        # 10/107 under absmax, 29/107 under MSE clips; float-head lifts
+        # those to 25 and 41 — int8 3D stays below the serving bar, which
+        # is why serving defaults to 2D-only where this policy governs
+        # quality/FLOPs, not 3D acceptance). Empty tuple = quantize
+        # everything (round-2 behaviour).
         INT8_SKIP=("/head",),
     )
     return c

@@ -8,8 +8,11 @@ of model FLOPs) execute as int8 x int8 -> int32 on the MXU, which runs at
 
 - weights: symmetric per-output-channel scales (absmax / 127), quantized
   on the fly from the fp32 master params — checkpoints are untouched;
-- activations: symmetric per-tensor scales from an absmax calibration sweep
-  over representative batches (run once, save as JSON);
+- activations: symmetric scales from a calibration sweep over
+  representative batches (run once, save as JSON). Clip selection:
+  absmax (default), outlier-robust percentile (p99.9/p99.99), or
+  MSE-optimal grid search; selected convs can calibrate PER-INPUT-CHANNEL
+  (scales folded into the weights — exact for the conv sum);
 - BN / ReLU / UpSample (transposed conv) / softmax fusion / decode / 3D
   solver stay in float: they are <2% of FLOPs and carry the numerics that
   matter (running stats, sub-pixel offsets).
@@ -55,11 +58,13 @@ def skip_scales(
     "/" matches path PREFIXES (whole submodule, e.g. a header branch);
     anything else matches path SUFFIXES (e.g. "/head", the output convs).
 
-    Default serving policy (cfg.TPU.INT8_SKIP) keeps the vertex-regression
-    branch and the output convs in float: their int8 error is amplified by
-    the 3D solver's residual<RESIDUAL_THRESH acceptance gate (measured on a
-    trained checkpoint — full-int8 accepts 11/108 detections, float-head 28,
-    float vertex branch restores parity; see PARITY.md)."""
+    Default serving policy (cfg.TPU.INT8_SKIP) keeps the header output
+    convs in float: their int8 error is amplified by the 3D solver's
+    residual<RESIDUAL_THRESH acceptance gate (r5 sweep on a trained
+    checkpoint, docs/experiments/int8_calib_sweep_r5.json: full-int8
+    accepts 10/107 float-accepted 3D detections under absmax calibration,
+    float-head 25; MSE clips lift those to 29/41; the best variant of the
+    whole sweep reaches 44 — see PARITY.md)."""
     prefixes = tuple(p for p in skip if p.endswith("/"))
     suffixes = tuple(p for p in skip if not p.endswith("/"))
 
