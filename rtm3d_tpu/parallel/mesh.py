@@ -40,12 +40,39 @@ def create_mesh(cfg: Config | None = None, devices=None, axes=None, shape=None) 
 def create_mesh_for_batch(cfg: Config, batch_size: int) -> Mesh:
     """Mesh over the largest device count whose data axis divides the batch.
     (The reference instead divides BATCH_SIZE by ngpus and errors on
-    mismatch, model_factory.py:61-62.)"""
+    mismatch, model_factory.py:61-62.)
+
+    Multi-process: trimming must keep the per-process device count UNIFORM —
+    ``make_array_from_process_local_data`` requires every process's local
+    rows to match its addressable shard of the mesh, and a prefix-trim of
+    ``jax.devices()`` can drop devices from only some processes (the same
+    hazard class the r4 advisor flagged in warmup_collectives). So under
+    multiple processes the trim unit is one device PER PROCESS, selecting
+    each process's first k local devices."""
     devices = jax.devices()
+    nproc = jax.process_count()
+    axes = tuple(cfg.TPU.MESH_AXES)
+    if nproc > 1:
+        k = len(devices) // nproc  # devices per process (uniform by JAX)
+        while k > 1 and batch_size % (k * nproc) != 0:
+            k -= 1
+        if k * nproc == len(devices):
+            if "spatial" in axes:
+                return create_mesh(cfg, devices=devices)
+            return create_mesh(cfg=None, devices=devices, axes=("data",),
+                               shape=(len(devices),))
+        taken: dict = {}
+        picked = []
+        for d in devices:
+            if taken.get(d.process_index, 0) < k:
+                taken[d.process_index] = taken.get(d.process_index, 0) + 1
+                picked.append(d)
+        return create_mesh(
+            cfg=None, devices=picked, axes=("data",), shape=(len(picked),)
+        )
     n = len(devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
-    axes = tuple(cfg.TPU.MESH_AXES)
     if "spatial" in axes and n == len(devices):
         return create_mesh(cfg, devices=devices)
     return create_mesh(cfg=None, devices=devices[:n], axes=("data",), shape=(n,))

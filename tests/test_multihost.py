@@ -352,6 +352,79 @@ def test_two_process_orbax_kill_resume(tmp_path):
     assert os.path.isdir(tag.read_text().strip())
 
 
+_TRIM_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+)
+sys.path.insert(0, os.getcwd())
+import numpy as np
+import jax.numpy as jnp
+from rtm3d_tpu.config import default_config
+from rtm3d_tpu.parallel.mesh import (
+    create_mesh_for_batch, local_batch_size, shard_batch, warmup_collectives,
+)
+
+# global batch 6 over 2 procs x 2 devices: 6 % 4 != 0, so the mesh must trim
+# UNIFORMLY to 1 device per process (a jax.devices() prefix-trim would keep
+# both of process 0's devices and error in make_array_from_process_local_data)
+cfg = default_config()
+mesh = create_mesh_for_batch(cfg, 6)
+assert mesh.devices.size == 2, mesh.devices
+pids = sorted(d.process_index for d in mesh.devices.flatten())
+assert pids == [0, 1], pids
+warmup_collectives(mesh)  # must size itself off the FULL device set
+lb = local_batch_size(6)
+assert lb == 3
+local = np.full((lb, 4), float(pid), np.float32)
+batch = shard_batch(mesh, {"image": local, "labels": {"v": local}})
+
+@jax.jit
+def mean(b):
+    return b["image"].mean()
+
+m = float(mean(batch))
+assert abs(m - 0.5) < 1e-6, m
+if pid == 0:
+    print("TRIM_MESH_OK", m)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("CI_FAST"), reason="slow subprocess test")
+@pytest.mark.slow
+def test_two_process_trimmed_mesh(tmp_path):
+    """A global batch not divisible by the device count under multi-process
+    must trim the mesh by whole per-process device groups; prefix-trimming
+    jax.devices() leaves processes with unequal addressable shards and
+    crashes batch assembly at startup (advisor r4 hazard class)."""
+    port = str(29601 + (os.getpid() % 50) * 2)
+    script = tmp_path / "trim_worker.py"
+    script.write_text(_TRIM_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert any("TRIM_MESH_OK" in o for o in outs)
+
+
 _SINGLE_WORKER = r"""
 import os, sys
 cfg_path = sys.argv[1]; epochs = sys.argv[2]
