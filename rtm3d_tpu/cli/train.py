@@ -142,7 +142,9 @@ def main(argv=None):
     )
     test_loader = DataLoader(
         test_ds,
-        min(local_bs, len(test_ds)),
+        local_bs,  # full batch even when len(test_ds) < local_bs: pad_final
+        # wraps the tail, and a smaller eval batch would break the mesh's
+        # data-axis divisibility (e.g. 3 test rows over an 8-device mesh)
         shuffle=False,
         drop_last=False,
         pad_final=True,  # one compiled eval shape; tail padded by wrap-around

@@ -234,6 +234,24 @@ def test_loader_shard_equalization(kitti_root):
     assert len(set(seen)) == 6
 
 
+def test_loader_batch_larger_than_dataset(kitti_root):
+    """A dataset smaller than the batch still yields ONE full-size padded
+    batch under pad_final (the eval loader keeps the full local batch so the
+    mesh's data-axis divisibility never depends on the test-set size)."""
+    cfg = small_cfg()
+    ds = create_dataset(kitti_root, cfg, is_training=False, split="train")  # 6
+    dl = DataLoader(ds, 8, shuffle=False, drop_last=False, num_shards=1,
+                    shard_index=0, pad_final=True)
+    batches = list(dl)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["image"].shape[0] == 8
+    assert b["num_valid"] == 6
+    assert list(b["sample_valid"]) == [True] * 6 + [False] * 2
+    # wrap-around rows repeat the head of the split
+    assert b["path"][6] == b["path"][0] and b["path"][7] == b["path"][1]
+
+
 def test_empty_label_image_calib(tmp_path):
     """An image with an empty label file must still carry a valid camera
     intrinsic (reference per-image K contract, dataset_reader.py:41-54) —
