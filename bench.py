@@ -54,6 +54,12 @@ def main_b1():
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     detect = make_detect_step(model, cfg, with_3d=True)
     r = bench_batch(detect, variables, 1, 30)
+    if "device" not in r:
+        raise SystemExit(
+            "bench --b1: the profiler trace captured no device-module "
+            "durations — run on an accelerator with a device trace lane "
+            "(wall-clock is untrustworthy on this runtime, see module doc)"
+        )
     ms = r["device"]["p50_ms"]
     print(
         json.dumps(

@@ -37,7 +37,9 @@ class Compose:
         if rng is None:
             # deterministic default (no global np.random fallback): direct
             # callers get a reproducible stream; pipeline callers (dataset /
-            # loader) always pass their own per-batch rng
+            # loader) always pass their own per-batch rng. NOTE a fixed seed
+            # means repeated rng-less calls replay IDENTICAL augmentation
+            # draws — pass an rng (or reuse one across calls) for variety.
             rng = np.random.RandomState(20)
         for t in self.transforms:
             img, labels = t(img, labels, rng=rng, **params)

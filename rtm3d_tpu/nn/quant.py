@@ -50,34 +50,9 @@ def _unfused(model):
     return model
 
 
-def skip_scales(
-    scales: Dict[str, float], skip: Iterable[str]
-) -> Dict[str, float]:
-    """Zero the calibration scale of convs matched by ``skip`` — those convs
-    then take the float fallback in ``quantized_apply``. A pattern ending in
-    "/" matches path PREFIXES (whole submodule, e.g. a header branch);
-    anything else matches path SUFFIXES (e.g. "/head", the output convs).
-
-    Default serving policy (cfg.TPU.INT8_SKIP) keeps the header output
-    convs in float: their int8 error is amplified by the 3D solver's
-    residual<RESIDUAL_THRESH acceptance gate (r5 sweep on a trained
-    checkpoint, docs/experiments/int8_calib_sweep_r5.json: full-int8
-    accepts 10/107 float-accepted 3D detections under absmax calibration,
-    float-head 25; MSE clips lift those to 29/41; the best variant of the
-    whole sweep reaches 44 — see PARITY.md)."""
-    prefixes = tuple(p for p in skip if p.endswith("/"))
-    suffixes = tuple(p for p in skip if not p.endswith("/"))
-
-    def hit(k: str) -> bool:
-        return (bool(suffixes) and k.endswith(suffixes)) or (
-            bool(prefixes) and k.startswith(prefixes)
-        )
-
-    return {k: (0.0 if hit(k) else v) for k, v in scales.items()}
-
-
 def _match_fns(patterns: Iterable[str]):
-    """skip_scales-style matching: trailing "/" = path prefix, else suffix."""
+    """Path matching shared by skip_scales and per-channel selection:
+    trailing "/" = path prefix (whole submodule), else path suffix."""
     prefixes = tuple(p for p in patterns if p.endswith("/"))
     suffixes = tuple(p for p in patterns if not p.endswith("/"))
 
@@ -87,6 +62,26 @@ def _match_fns(patterns: Iterable[str]):
         )
 
     return hit
+
+
+def skip_scales(
+    scales: Dict[str, float], skip: Iterable[str]
+) -> Dict[str, float]:
+    """Zero the calibration scale of convs matched by ``skip`` — those convs
+    then take the float fallback in ``quantized_apply``. Matching rules are
+    ``_match_fns``: a pattern ending in "/" matches path PREFIXES (whole
+    submodule, e.g. a header branch); anything else matches path SUFFIXES
+    (e.g. "/head", the output convs).
+
+    Default serving policy (cfg.TPU.INT8_SKIP) keeps the header output
+    convs in float: their int8 error is amplified by the 3D solver's
+    residual<RESIDUAL_THRESH acceptance gate (r5 sweep on a trained
+    checkpoint, docs/experiments/int8_calib_sweep_r5.json: full-int8
+    accepts 10/107 float-accepted 3D detections under absmax calibration,
+    float-head 25; MSE clips lift those to 29/41; the best variant of the
+    whole sweep reaches 44 — see PARITY.md)."""
+    hit = _match_fns(skip)
+    return {k: (0.0 if hit(k) else v) for k, v in scales.items()}
 
 
 def calibrate_act_scales(
@@ -240,7 +235,17 @@ def _quantized_conv(m: Conv, x, s_act):
         wq = jnp.clip(jnp.round(w / s_w), -127, 127)
         out_scale = s_w * s_x  # (cout,)
     else:
-        s_x = np.maximum(np.asarray(s_act, np.float32) / 127.0, 1e-12)  # (cin,)
+        s_act = np.asarray(s_act, np.float32)  # (cin,)
+        # a channel all-zero across the calibration batches (ReLU-dead
+        # there) has clip 0; quantizing with it would zero that channel's
+        # real-input contribution entirely (its folded weights round to 0).
+        # Use the tensor-level max clip for such channels instead — coarse
+        # resolution, but the contribution is preserved. (All-zero vectors
+        # never reach here: quantized_apply's max(s)>0 gate keeps those
+        # convs float.)
+        if (s_act <= 0.0).any():
+            s_act = np.where(s_act <= 0.0, s_act.max(), s_act)
+        s_x = np.maximum(s_act / 127.0, 1e-12)
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127)
         w_eff = w * jnp.asarray(s_x)[None, None, :, None]
         s_w = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)) / 127.0, 1e-12)

@@ -53,6 +53,13 @@ def create_mesh_for_batch(cfg: Config, batch_size: int) -> Mesh:
     nproc = jax.process_count()
     axes = tuple(cfg.TPU.MESH_AXES)
     if nproc > 1:
+        # each process must contribute local rows, so the global batch must
+        # split across processes before any device trim can help (same
+        # contract local_batch_size enforces on the train path)
+        assert batch_size % nproc == 0, (
+            f"global batch {batch_size} not divisible by "
+            f"{nproc} processes — no data mesh can shard it"
+        )
         k = len(devices) // nproc  # devices per process (uniform by JAX)
         while k > 1 and batch_size % (k * nproc) != 0:
             k -= 1

@@ -196,3 +196,29 @@ def test_per_channel_activation_scales(rng):
         jax.jit(lambda v, i: quantized_apply(m, s_pc)(v, i))(v, x)
     )
     np.testing.assert_allclose(got_jit, got_pc, rtol=1e-5, atol=1e-5)
+
+
+def test_per_channel_dead_calib_channel_keeps_contribution(rng):
+    """A channel that is all-zero during calibration (clip 0) but active on
+    real inputs must not have its contribution silently zeroed — the
+    quantizer substitutes the tensor-level max clip for zero-clip channels
+    (r5 review finding)."""
+    m = Conv(8, 3)
+    x_calib = rng.randn(2, 16, 16, 4).astype(np.float32)
+    x_calib[..., 2] = 0.0  # channel 2 silent in calibration
+    x_calib = jnp.asarray(x_calib)
+    v = m.init(jax.random.PRNGKey(0), x_calib)
+    s_pc = calibrate_act_scales(m, v, [x_calib], per_channel=("",))
+    assert s_pc[""][2] == 0.0  # calibration honestly records the dead clip
+
+    # serving input where ONLY channel 2 carries signal
+    x_serve = np.zeros((1, 16, 16, 4), np.float32)
+    x_serve[..., 2] = rng.randn(1, 16, 16).astype(np.float32)
+    x_serve = jnp.asarray(x_serve)
+    ref = np.asarray(m.apply(v, x_serve))
+    got = np.asarray(quantized_apply(m, s_pc)(v, x_serve))
+    bias = np.asarray(m.apply(v, jnp.zeros_like(x_serve)))
+    # the channel's contribution survives (coarse resolution is fine; total
+    # loss of the channel would leave got == bias)
+    assert np.abs(got - bias).max() > 0.5 * np.abs(ref - bias).max()
+    assert np.abs(got - ref).mean() < 0.5 * np.abs(ref - bias).mean()

@@ -106,8 +106,11 @@ def main():
             for pc in (False, True):
                 for policy in ("full", "float-head"):
                     variants.append((method, pc, policy))
-        # the round-4 best policy under the upgraded calibrations too
-        variants += [("p99.9", True, "float-vertex"), ("mse", False, "float-vertex")]
+        # the round-4 best policy under the upgraded calibrations too.
+        # per-channel x float-vertex is NOT swept: the policy zeroes exactly
+        # the branches per_channel targets, so pc=True would silently
+        # measure the pc=False configuration (caught by r5 review)
+        variants += [("p99.9", False, "float-vertex"), ("mse", False, "float-vertex")]
     else:
         variants = [("absmax", False, p)
                     for p in ("full", "float-head", "float-vertex", "float-header")]
