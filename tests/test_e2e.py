@@ -83,6 +83,51 @@ def test_detect_and_evaluate_cli(workdir):
 
 
 @pytest.mark.slow
+def test_train_cli_batch_wider_than_test_split(tmp_path):
+    """Batch 8 spreads over the full 8-device (virtual) mesh while the test
+    split has only 3 images: the eval loader must keep the full local batch
+    (pad_final wrap) — an eval batch of 3 cannot shard over the 8-wide data
+    axis and crashed at the first eval before the r5 fix (cli/train.py
+    eval-loader sizing)."""
+    from rtm3d_tpu.cli.train import main
+
+    data = generate_kitti(
+        str(tmp_path / "kitti"), num_train=8, num_test=3, img_hw=(64, 96),
+        max_objs=3,
+    )
+    cfg = {
+        "INPUT_SIZE": "(96, 96)",
+        "IS_RECT": True,
+        "BATCH_SIZE": 8,  # == virtual device count (tests/conftest.py)
+        "DATASET": {"PATH": data, "MAX_OBJS": 8},
+        "MODEL": {
+            "BACKBONE": "RESNET-18",
+            "KFNs": ["layer1", "layer2", "layer3", "layer4"],
+        },
+        "TRAINING": {
+            "WEIGHTS": str(tmp_path / "weights"),
+            "LOGDIR": str(tmp_path / "logs"),
+            "CHECKPOINT_MODE": "start",
+        },
+        "SOLVER": {
+            "BASE_LR": 0.001,
+            "MAX_EPOCH": 1,
+            "WARMUP_ITERS": 2,
+            "STEPS": "(1000, 2000)",
+        },
+        "TPU": {"DONATE": False},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    import jax
+
+    assert len(jax.devices()) == 8
+    state = main(["--model-config", cfg_path])
+    assert state is not None  # the epoch's eval ran to completion
+
+
+@pytest.mark.slow
 def test_resume_from_checkpoint(workdir):
     """CHECKPOINT_MODE=resume restores epoch and continues (train.py:137-145,
     without the reference's case-sensitivity bug)."""
